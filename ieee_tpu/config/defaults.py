@@ -1,0 +1,231 @@
+"""Default config tree + kwargs adapters.
+
+Mirrors the reference key schema (reference ``scripts/default_config.py:4-215``)
+so that the reference's YAML files (e.g. ``configs/RGBNT_ieee_part_margin.yaml``)
+load unmodified. TPU-specific keys live under ``cfg.tpu``.
+"""
+
+from __future__ import annotations
+
+from .node import ConfigNode
+
+
+def get_default_config() -> ConfigNode:
+    cfg = ConfigNode()
+
+    # model
+    cfg.model = ConfigNode()
+    cfg.model.name = "resnet50"
+    cfg.model.pretrained = True  # load pretrained backbone weights if available
+    cfg.model.load_weights = ""  # path to model weights
+    cfg.model.resume = ""  # path to checkpoint for resume training
+
+    # data
+    cfg.data = ConfigNode()
+    cfg.data.type = "image"
+    cfg.data.root = "reid-data"
+    cfg.data.sources = ["market1501"]
+    cfg.data.targets = ["market1501"]
+    cfg.data.workers = 1  # host decode threads
+    cfg.data.split_id = 0
+    cfg.data.height = 256
+    cfg.data.width = 128
+    cfg.data.combineall = False
+    cfg.data.transforms = ["random_flip"]
+    cfg.data.k_tfm = 1
+    cfg.data.norm_mean = [0.485, 0.456, 0.406]
+    cfg.data.norm_std = [0.229, 0.224, 0.225]
+    cfg.data.save_dir = "log"
+    cfg.data.load_train_targets = False
+
+    # dataset-specific
+    cfg.market1501 = ConfigNode()
+    cfg.market1501.use_500k_distractors = False
+    cfg.cuhk03 = ConfigNode()
+    cfg.cuhk03.labeled_images = False
+    cfg.cuhk03.classic_split = False
+    cfg.cuhk03.use_metric_cuhk03 = False
+
+    # sampler
+    cfg.sampler = ConfigNode()
+    cfg.sampler.train_sampler = "RandomSampler"
+    cfg.sampler.train_sampler_t = "RandomSampler"
+    cfg.sampler.num_instances = 4
+    cfg.sampler.num_cams = 1
+    cfg.sampler.num_datasets = 1
+
+    # video
+    cfg.video = ConfigNode()
+    cfg.video.seq_len = 15
+    cfg.video.sample_method = "evenly"
+    cfg.video.pooling_method = "avg"
+
+    # train
+    cfg.train = ConfigNode()
+    cfg.train.optim = "adam"
+    cfg.train.lr = 0.0003
+    cfg.train.weight_decay = 5e-4
+    cfg.train.max_epoch = 60
+    cfg.train.start_epoch = 0
+    cfg.train.batch_size = 32
+    cfg.train.fixbase_epoch = 0
+    cfg.train.open_layers = ["classifier"]
+    cfg.train.staged_lr = False
+    cfg.train.new_layers = ["classifier"]
+    cfg.train.base_lr_mult = 0.1
+    cfg.train.lr_scheduler = "single_step"
+    cfg.train.stepsize = [20]
+    cfg.train.gamma = 0.1
+    cfg.train.print_freq = 20
+    cfg.train.seed = 1
+
+    # optimizers
+    cfg.sgd = ConfigNode()
+    cfg.sgd.momentum = 0.9
+    cfg.sgd.dampening = 0.0
+    cfg.sgd.nesterov = True
+    cfg.rmsprop = ConfigNode()
+    cfg.rmsprop.alpha = 0.99
+    cfg.adam = ConfigNode()
+    cfg.adam.beta1 = 0.9
+    cfg.adam.beta2 = 0.999
+
+    # loss
+    cfg.loss = ConfigNode()
+    cfg.loss.name = "softmax"
+    cfg.loss.softmax = ConfigNode()
+    cfg.loss.softmax.label_smooth = True
+    cfg.loss.triplet = ConfigNode()
+    cfg.loss.triplet_margin = 0.3
+    cfg.loss.ieee_margin = 3
+    cfg.loss.weight_c = 1.0
+    cfg.loss.weight_t = 1.0
+    cfg.loss.weight_m = 1.0
+    cfg.loss.weight_x = 1.0
+
+    # test
+    cfg.test = ConfigNode()
+    cfg.test.batch_size = 100
+    cfg.test.dist_metric = "euclidean"
+    cfg.test.normalize_feature = False
+    cfg.test.ranks = [1, 5, 10]
+    cfg.test.evaluate = False
+    cfg.test.eval_freq = -1
+    cfg.test.start_eval = 0
+    cfg.test.rerank = False
+    cfg.test.visrank = False
+    cfg.test.visrank_topk = 10
+
+    # misc flags set by entry scripts (reference sets cfg.use_gpu at runtime)
+    cfg.use_gpu = True
+
+    # --- TPU-native additions (no reference analog) ---------------------
+    cfg.tpu = ConfigNode()
+    cfg.tpu.mesh_shape = []  # e.g. [8] -> 1-D data mesh; [] = all local devices
+    cfg.tpu.mesh_axes = ["data"]
+    cfg.tpu.compute_dtype = "bfloat16"  # matmul/conv dtype on the MXU
+    cfg.tpu.param_dtype = "float32"
+    cfg.tpu.sync_batchnorm = False  # cross-replica BN stats (divergence knob)
+    cfg.tpu.prefetch = 2  # device prefetch depth
+    cfg.tpu.donate = True  # donate train-state buffers to the jitted step
+
+    return cfg
+
+
+def imagedata_kwargs(cfg: ConfigNode) -> dict:
+    return dict(
+        root=cfg.data.root,
+        sources=cfg.data.sources,
+        targets=cfg.data.targets,
+        height=cfg.data.height,
+        width=cfg.data.width,
+        transforms=cfg.data.transforms,
+        k_tfm=cfg.data.k_tfm,
+        norm_mean=cfg.data.norm_mean,
+        norm_std=cfg.data.norm_std,
+        split_id=cfg.data.split_id,
+        combineall=cfg.data.combineall,
+        load_train_targets=cfg.data.load_train_targets,
+        batch_size_train=cfg.train.batch_size,
+        batch_size_test=cfg.test.batch_size,
+        workers=cfg.data.workers,
+        num_instances=cfg.sampler.num_instances,
+        num_cams=cfg.sampler.num_cams,
+        num_datasets=cfg.sampler.num_datasets,
+        train_sampler=cfg.sampler.train_sampler,
+        train_sampler_t=cfg.sampler.train_sampler_t,
+        cuhk03_labeled=cfg.cuhk03.labeled_images,
+        cuhk03_classic_split=cfg.cuhk03.classic_split,
+        market1501_500k=cfg.market1501.use_500k_distractors,
+    )
+
+
+def videodata_kwargs(cfg: ConfigNode) -> dict:
+    return dict(
+        root=cfg.data.root,
+        sources=cfg.data.sources,
+        targets=cfg.data.targets,
+        height=cfg.data.height,
+        width=cfg.data.width,
+        transforms=cfg.data.transforms,
+        norm_mean=cfg.data.norm_mean,
+        norm_std=cfg.data.norm_std,
+        split_id=cfg.data.split_id,
+        combineall=cfg.data.combineall,
+        batch_size_train=cfg.train.batch_size,
+        batch_size_test=cfg.test.batch_size,
+        workers=cfg.data.workers,
+        num_instances=cfg.sampler.num_instances,
+        num_cams=cfg.sampler.num_cams,
+        num_datasets=cfg.sampler.num_datasets,
+        train_sampler=cfg.sampler.train_sampler,
+        seq_len=cfg.video.seq_len,
+        sample_method=cfg.video.sample_method,
+    )
+
+
+def optimizer_kwargs(cfg: ConfigNode) -> dict:
+    return dict(
+        optim=cfg.train.optim,
+        lr=cfg.train.lr,
+        weight_decay=cfg.train.weight_decay,
+        momentum=cfg.sgd.momentum,
+        sgd_dampening=cfg.sgd.dampening,
+        sgd_nesterov=cfg.sgd.nesterov,
+        rmsprop_alpha=cfg.rmsprop.alpha,
+        adam_beta1=cfg.adam.beta1,
+        adam_beta2=cfg.adam.beta2,
+        staged_lr=cfg.train.staged_lr,
+        new_layers=cfg.train.new_layers,
+        base_lr_mult=cfg.train.base_lr_mult,
+    )
+
+
+def lr_scheduler_kwargs(cfg: ConfigNode) -> dict:
+    return dict(
+        lr_scheduler=cfg.train.lr_scheduler,
+        stepsize=cfg.train.stepsize,
+        gamma=cfg.train.gamma,
+        max_epoch=cfg.train.max_epoch,
+    )
+
+
+def engine_run_kwargs(cfg: ConfigNode) -> dict:
+    return dict(
+        save_dir=cfg.data.save_dir,
+        max_epoch=cfg.train.max_epoch,
+        start_epoch=cfg.train.start_epoch,
+        fixbase_epoch=cfg.train.fixbase_epoch,
+        open_layers=cfg.train.open_layers,
+        start_eval=cfg.test.start_eval,
+        eval_freq=cfg.test.eval_freq,
+        test_only=cfg.test.evaluate,
+        print_freq=cfg.train.print_freq,
+        dist_metric=cfg.test.dist_metric,
+        normalize_feature=cfg.test.normalize_feature,
+        visrank=cfg.test.visrank,
+        visrank_topk=cfg.test.visrank_topk,
+        use_metric_cuhk03=cfg.cuhk03.use_metric_cuhk03,
+        ranks=cfg.test.ranks,
+        rerank=cfg.test.rerank,
+    )

@@ -1,0 +1,64 @@
+import os.path as osp
+
+import pytest
+
+from ieee_tpu.config import (
+    engine_run_kwargs,
+    get_default_config,
+    imagedata_kwargs,
+    lr_scheduler_kwargs,
+    optimizer_kwargs,
+)
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_defaults():
+    cfg = get_default_config()
+    assert cfg.model.name == "resnet50"
+    assert cfg.train.batch_size == 32
+    assert cfg.loss.softmax.label_smooth is True
+    assert cfg.tpu.mesh_axes == ["data"]
+
+
+def test_yaml_overlay_reference_config():
+    cfg = get_default_config()
+    cfg.merge_from_file(osp.join(REPO, "configs", "rgbnt_ieee_part_margin.yaml"))
+    assert cfg.model.name == "ieee3modalPart"
+    assert cfg.loss.name == "margin"
+    assert cfg.loss.ieee_margin == 1
+    assert cfg.train.batch_size == 8
+    assert cfg.train.stepsize == [20, 40]
+    assert cfg.sampler.train_sampler == "RandomIdentitySampler"
+    assert cfg.test.eval_freq == 6
+
+
+def test_dotlist_merge():
+    cfg = get_default_config()
+    cfg.merge_from_list(["train.lr", "0.01", "model.name", "resnet50_fc512"])
+    assert cfg.train.lr == 0.01
+    assert cfg.model.name == "resnet50_fc512"
+
+
+def test_unknown_key_rejected():
+    cfg = get_default_config()
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["train.nonexistent", "1"])
+
+
+def test_type_checking():
+    cfg = get_default_config()
+    with pytest.raises(TypeError):
+        cfg.merge_from_list(["train.batch_size", "notanint"])
+
+
+def test_kwargs_adapters():
+    cfg = get_default_config()
+    ik = imagedata_kwargs(cfg)
+    assert ik["batch_size_train"] == 32
+    ok = optimizer_kwargs(cfg)
+    assert ok["optim"] == "adam"
+    lk = lr_scheduler_kwargs(cfg)
+    assert lk["lr_scheduler"] == "single_step"
+    ek = engine_run_kwargs(cfg)
+    assert ek["eval_freq"] == -1
