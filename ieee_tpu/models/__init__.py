@@ -1,0 +1,180 @@
+"""Model factory + registry.
+
+Reference analog: ``torchreid/models/__init__.py:28-111`` (``__model_factory``
+dict, ``build_model``, ``show_avai_models``). Registered zoo grows per
+SURVEY §2.3's completeness target; each factory returns a ``ReIDModel``.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from .base import ReIDModel
+from .ieee3modal import IEEE3modalPart
+from .resnet import RESNET_SPECS, ReIDResNet
+from . import converter
+
+__model_factory: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        __model_factory[name] = fn
+        return fn
+
+    return deco
+
+
+def show_avai_models():
+    """Displays available models (reference ``models/__init__.py:70-77``)."""
+    print(sorted(__model_factory.keys()))
+    return sorted(__model_factory.keys())
+
+
+def build_model(
+    name: str,
+    num_classes: int,
+    loss: str = "softmax",
+    pretrained: bool = True,
+    use_gpu: bool = True,
+    **kwargs,
+) -> ReIDModel:
+    """Build a model from the registry (reference ``models/__init__.py:80-111``).
+    ``use_gpu`` kept for signature parity; device placement is jit's concern."""
+    del use_gpu
+    avai = sorted(__model_factory.keys())
+    if name not in __model_factory:
+        raise KeyError(f"Unknown model: {name}. Must be one of {avai}")
+    return __model_factory[name](
+        num_classes=num_classes, loss=loss, pretrained=pretrained, **kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# ResNet family
+# ---------------------------------------------------------------------------
+
+def _make_reid_resnet(arch, num_classes, loss, pretrained, last_stride=2,
+                      fc_dims=None, dtype=jnp.bfloat16, **kwargs):
+    block, layers, groups, wpg = RESNET_SPECS[arch]
+    module = ReIDResNet(
+        num_classes=num_classes,
+        loss=loss,
+        block=block,
+        layers=layers,
+        groups=groups,
+        width_per_group=wpg,
+        last_stride=last_stride,
+        fc_dims=fc_dims,
+        dtype=dtype,
+    )
+    feature_dim = fc_dims[-1] if fc_dims else 512 * (4 if block == "bottleneck" else 1)
+    meta = {"trunks": {"trunk": arch} if pretrained else {}, "arch": arch,
+            "block": block, "layers": layers}
+    return ReIDModel(
+        module=module,
+        name=arch,
+        num_classes=num_classes,
+        loss=loss,
+        num_streams=1,
+        feature_dim=feature_dim,
+        meta=meta,
+    )
+
+
+for _arch in RESNET_SPECS:
+    def _factory(num_classes, loss="softmax", pretrained=True, _arch=_arch, **kw):
+        return _make_reid_resnet(_arch, num_classes, loss, pretrained, **kw)
+
+    __model_factory[_arch] = _factory
+
+
+@register_model("resnet50_fc512")
+def resnet50_fc512(num_classes, loss="softmax", pretrained=True, **kw):
+    return _make_reid_resnet(
+        "resnet50", num_classes, loss, pretrained, last_stride=1,
+        fc_dims=[512], **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# IEEE multi-modal
+# ---------------------------------------------------------------------------
+
+@register_model("ieee3modalPart")
+def ieee3modal_part(
+    num_classes,
+    loss="softmax",
+    pretrained=True,
+    parts=6,
+    interaction=True,
+    attention=True,
+    using_REM=True,
+    dtype=jnp.bfloat16,
+    **kwargs,
+):
+    """The IEEE model (reference factory ``ieee3modalPart``,
+    ``models/ieee3modalPart.py:542-555``). Ablation flags map to the
+    reference's ``interaction/attention/using_REM`` attributes."""
+    module = IEEE3modalPart(
+        num_classes=num_classes,
+        loss=loss,
+        parts=parts,
+        interaction=interaction,
+        attention=attention,
+        using_REM=using_REM,
+        dtype=dtype,
+    )
+    meta = {
+        "trunks": (
+            {f"backbone_{m}": "resnet50" for m in "RNT"} if pretrained else {}
+        ),
+        "parts": parts,
+    }
+    return ReIDModel(
+        module=module,
+        name="ieee3modalPart",
+        num_classes=num_classes,
+        loss=loss,
+        num_streams=3,
+        feature_dim=parts * 128 * 3,
+        meta=meta,
+    )
+
+
+def apply_pretrained(model: ReIDModel, variables):
+    """Graft ImageNet-pretrained trunk weights into freshly-initialized
+    variables, for every trunk the model's meta declares. No-op (with a
+    warning) when no weight file is available locally."""
+    trunks = model.meta.get("trunks", {})
+    if not trunks:
+        return variables
+    cache = {}
+    for trunk_name, arch in trunks.items():
+        if arch not in cache:
+            cache[arch] = converter.load_pretrained_trunk(
+                arch,
+                block=RESNET_SPECS[arch][0],
+                layers=RESNET_SPECS[arch][1],
+            )
+        loaded = cache[arch]
+        if loaded is None:
+            warnings.warn(
+                f"No local pretrained weights for {arch} "
+                f"(set IEEE_TPU_PRETRAINED_DIR); using random init"
+            )
+            return variables
+        variables = converter.graft_trunk(variables, loaded[0], loaded[1], trunk_name)
+    return variables
+
+
+__all__ = [
+    "build_model",
+    "show_avai_models",
+    "register_model",
+    "apply_pretrained",
+    "ReIDModel",
+]

@@ -1,0 +1,131 @@
+"""Shared flax building blocks for the model zoo.
+
+TPU conventions used throughout the models package:
+ - NHWC layout (XLA's native conv layout on TPU);
+ - ``dtype`` = compute dtype (bfloat16 by default: convs/matmuls on the MXU),
+   ``param_dtype`` = float32 master params;
+ - BatchNorm statistics always computed in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+# torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
+conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# torch nn.init.normal_(weight, 0, 0.01) for Linear layers in reID heads
+dense_init = nn.initializers.normal(stddev=0.01)
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm [+ ReLU] — the reference's DimReduceLayer
+    shape (reference ``models/ieee3modalPart.py:28-48``) and the generic
+    conv-bn unit of every backbone."""
+
+    features: int
+    kernel: Sequence[int] = (1, 1)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "VALID"
+    nonlinear: str | None = None  # None | 'relu' | 'leakyrelu'
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9  # == torch momentum 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            use_bias=False,
+            kernel_init=conv_kaiming_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+        x = x.astype(self.dtype)
+        if self.nonlinear == "relu":
+            x = nn.relu(x)
+        elif self.nonlinear == "leakyrelu":
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        return x
+
+
+class DenseBNReLU(nn.Module):
+    """Linear + BatchNorm1d + ReLU — the reference's ``_construct_fc_layer``
+    unit (reference ``models/ieee3modalPart.py:396-424``)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(
+            self.features,
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fc",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+        return nn.relu(x.astype(self.dtype))
+
+
+def global_avg_pool(x):
+    """(B, H, W, C) -> (B, C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def global_max_pool(x):
+    """(B, H, W, C) -> (B, C)."""
+    return jnp.max(x, axis=(1, 2))
+
+
+def adaptive_avg_pool(x, out_h: int, out_w: int):
+    """NHWC AdaptiveAvgPool2d for output sizes that divide the input —
+    the only case the reference uses ((6,1) part pooling and (1,1) global;
+    reference ``ieee3modalPart.py:342-343``)."""
+    b, h, w, c = x.shape
+    if h % out_h != 0 or w % out_w != 0:
+        # general adaptive pooling via interpolation-free bucketing
+        return _adaptive_avg_pool_general(x, out_h, out_w)
+    x = x.reshape(b, out_h, h // out_h, out_w, w // out_w, c)
+    return jnp.mean(x, axis=(2, 4))
+
+
+def _adaptive_avg_pool_general(x, out_h: int, out_w: int):
+    import numpy as np
+
+    b, h, w, c = x.shape
+    # torch semantics: bucket i covers [floor(i*H/out), ceil((i+1)*H/out))
+    rows = []
+    for i in range(out_h):
+        h0, h1 = (i * h) // out_h, -(-((i + 1) * h) // out_h)
+        cols = []
+        for j in range(out_w):
+            w0, w1 = (j * w) // out_w, -(-((j + 1) * w) // out_w)
+            cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)

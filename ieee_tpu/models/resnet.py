@@ -1,0 +1,245 @@
+"""ResNet family, TPU-native (flax / NHWC / bf16 MXU compute).
+
+Reference analog: ``torchreid/models/resnet.py`` — the classic reID ``ResNet``
+head (``resnet.py:187-399``), the headless ``ResNetIEEE`` trunk returning the
+layer-4 map (``resnet.py:443-635``), and the plain ``ResNetBackbone``
+(``resnet.py:883-1067``). One trunk implementation serves all three roles here;
+the variants differ only in head. ``last_stride=1`` keeps a 16x8 final map at
+256x128 input, as the reID variants require (``resnet.py:1143-1262``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import ConvBN, DenseBNReLU, conv_kaiming_init, dense_init, global_avg_pool
+
+__all__ = [
+    "ResNetTrunk",
+    "ReIDResNet",
+    "RESNET_SPECS",
+]
+
+
+RESNET_SPECS = {
+    # name: (block, layers, groups, width_per_group)
+    "resnet18": ("basic", (2, 2, 2, 2), 1, 64),
+    "resnet34": ("basic", (3, 4, 6, 3), 1, 64),
+    "resnet50": ("bottleneck", (3, 4, 6, 3), 1, 64),
+    "resnet101": ("bottleneck", (3, 4, 23, 3), 1, 64),
+    "resnet152": ("bottleneck", (3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 32, 8),
+}
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    strides: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = ConvBN(
+            self.planes, (3, 3), (self.strides, self.strides), ((1, 1), (1, 1)),
+            nonlinear="relu", dtype=self.dtype, name="cb1",
+        )(x, train)
+        out = ConvBN(
+            self.planes, (3, 3), (1, 1), ((1, 1), (1, 1)),
+            nonlinear=None, dtype=self.dtype, name="cb2",
+        )(out, train)
+        if self.downsample:
+            identity = ConvBN(
+                self.planes, (1, 1), (self.strides, self.strides),
+                nonlinear=None, dtype=self.dtype, name="downsample",
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    strides: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = ConvBN(width, (1, 1), nonlinear="relu", dtype=self.dtype, name="cb1")(
+            x, train
+        )
+        out = nn.Conv(
+            width,
+            kernel_size=(3, 3),
+            strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            kernel_init=conv_kaiming_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv2",
+        )(out)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn2",
+        )(out)
+        out = nn.relu(out.astype(self.dtype))
+        out = ConvBN(
+            self.planes * self.expansion, (1, 1), nonlinear=None,
+            dtype=self.dtype, name="cb3",
+        )(out, train)
+        if self.downsample:
+            identity = ConvBN(
+                self.planes * self.expansion, (1, 1),
+                (self.strides, self.strides), nonlinear=None,
+                dtype=self.dtype, name="downsample",
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+_BLOCKS = {"basic": BasicBlock, "bottleneck": Bottleneck}
+
+
+class ResNetTrunk(nn.Module):
+    """conv1..layer4 trunk; returns the final feature map (NHWC).
+
+    ``return_stages=True`` returns all four stage outputs (the reference's
+    ``featuremaps`` returning 4 stages, ``resnet.py:558-575``) for actmap
+    visualization and the pfnet fusion taps.
+    """
+
+    block: str = "bottleneck"
+    layers: Sequence[int] = (3, 4, 6, 3)
+    groups: int = 1
+    width_per_group: int = 64
+    last_stride: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def feature_dim(self) -> int:
+        return 512 * _BLOCKS[self.block].expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_stages: bool = False):
+        block_cls = _BLOCKS[self.block]
+        x = x.astype(self.dtype)
+        x = ConvBN(
+            64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
+            dtype=self.dtype, name="stem",
+        )(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        stages = []
+        planes = (64, 128, 256, 512)
+        strides = (1, 2, 2, self.last_stride)
+        in_planes = 64
+        for stage_idx, (p, n_blocks, s) in enumerate(
+            zip(planes, self.layers, strides)
+        ):
+            for b in range(n_blocks):
+                stride = s if b == 0 else 1
+                needs_down = b == 0 and (
+                    stride != 1 or in_planes != p * block_cls.expansion
+                )
+                x = block_cls(
+                    planes=p,
+                    strides=stride,
+                    downsample=needs_down,
+                    groups=self.groups,
+                    base_width=self.width_per_group,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x, train)
+            in_planes = p * block_cls.expansion
+            stages.append(x)
+        if return_stages:
+            return tuple(stages)
+        return x
+
+
+class ReIDResNet(nn.Module):
+    """Classic single-modal reID model: trunk + global avgpool
+    [+ fc512-style neck] + classifier (reference ``resnet.py:187-399``;
+    the unused ``camid`` forward arg is dropped per SURVEY known-quirk list).
+
+    Train: logits (softmax) or (logits, features) (triplet).
+    Eval: pooled feature vector.
+    """
+
+    num_classes: int = 1000
+    loss: str = "softmax"
+    block: str = "bottleneck"
+    layers: Sequence[int] = (3, 4, 6, 3)
+    groups: int = 1
+    width_per_group: int = 64
+    last_stride: int = 2
+    fc_dims: Sequence[int] | None = None
+    dropout_p: float | None = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_featuremaps: bool = False):
+        f = ResNetTrunk(
+            block=self.block,
+            layers=self.layers,
+            groups=self.groups,
+            width_per_group=self.width_per_group,
+            last_stride=self.last_stride,
+            dtype=self.dtype,
+            name="trunk",
+        )(x, train)
+        if return_featuremaps:
+            return f
+        v = global_avg_pool(f).astype(jnp.float32)
+
+        if self.fc_dims:
+            for i, dim in enumerate(self.fc_dims):
+                v = DenseBNReLU(dim, dtype=self.dtype, name=f"fc{i}")(v, train)
+                if self.dropout_p and train:
+                    v = nn.Dropout(rate=self.dropout_p, deterministic=not train)(v)
+            v = v.astype(jnp.float32)
+
+        if not train:
+            return v
+
+        y = nn.Dense(
+            self.num_classes,
+            kernel_init=dense_init,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="classifier",
+        )(v)
+        if self.loss == "softmax":
+            return y
+        if self.loss == "triplet":
+            return y, v
+        raise KeyError(f"Unsupported loss: {self.loss}")
+
+
+def make_trunk(name: str = "resnet50", last_stride: int = 2, dtype=jnp.bfloat16):
+    block, layers, groups, wpg = RESNET_SPECS[name]
+    return partial(
+        ResNetTrunk,
+        block=block,
+        layers=layers,
+        groups=groups,
+        width_per_group=wpg,
+        last_stride=last_stride,
+        dtype=dtype,
+    )
