@@ -1,0 +1,281 @@
+"""Data managers (reference ``torchreid/data/datamanager.py:10-555``).
+
+``ImageDataManager`` builds the sum-of-sources train set, the train loader
+(P x K sampler, drop_last), and per-target query/gallery test loaders.
+Transforms are returned as compiled device functions rather than host
+pipelines (see ``transforms.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from .datasets import init_image_dataset, init_video_dataset
+from .loader import DataLoader
+from .sampler import build_train_sampler
+from .transforms import build_transforms
+
+__all__ = ["DataManager", "ImageDataManager", "VideoDataManager"]
+
+
+class DataManager:
+    def __init__(
+        self,
+        sources=None,
+        targets=None,
+        height=256,
+        width=128,
+        transforms="random_flip",
+        norm_mean=None,
+        norm_std=None,
+        use_gpu=False,
+        verbose=True,
+    ):
+        self.sources = [sources] if isinstance(sources, str) else sources
+        if self.sources is None:
+            raise ValueError("sources must not be None")
+        self.targets = [targets] if isinstance(targets, str) else targets
+        if self.targets is None:
+            self.targets = self.sources
+        self.height = height
+        self.width = width
+        self.transform_tr, self.transform_te = build_transforms(
+            height, width, transforms=transforms,
+            norm_mean=norm_mean, norm_std=norm_std, verbose=verbose,
+        )
+        self.use_gpu = use_gpu  # kept for API parity
+
+    @property
+    def num_train_pids(self):
+        return self._num_train_pids
+
+    @property
+    def num_train_cams(self):
+        return self._num_train_cams
+
+    @property
+    def num_streams(self):
+        """1 = single image per item; >1 = multi-modal image list."""
+        return self._num_streams
+
+    def fetch_test_loaders(self, name):
+        """Returns (query_loader, gallery_loader) for a target dataset
+        (reference ``datamanager.py:77-87``)."""
+        return (
+            self.test_loader[name]["query"],
+            self.test_loader[name]["gallery"],
+        )
+
+
+class ImageDataManager(DataManager):
+    """(reference ``datamanager.py:90-348``)"""
+
+    data_type = "image"
+
+    def __init__(
+        self,
+        root="",
+        sources=None,
+        targets=None,
+        height=256,
+        width=128,
+        transforms="random_flip",
+        k_tfm=1,
+        norm_mean=None,
+        norm_std=None,
+        use_gpu=False,
+        split_id=0,
+        combineall=False,
+        load_train_targets=False,
+        batch_size_train=32,
+        batch_size_test=32,
+        workers=4,
+        num_instances=4,
+        num_cams=1,
+        num_datasets=1,
+        train_sampler="RandomSampler",
+        train_sampler_t="RandomSampler",
+        seed=None,
+        verbose=True,
+        prefetch=2,
+        **dataset_kwargs,
+    ):
+        super().__init__(
+            sources=sources, targets=targets, height=height, width=width,
+            transforms=transforms, norm_mean=norm_mean, norm_std=norm_std,
+            use_gpu=use_gpu, verbose=verbose,
+        )
+        self.batch_size_train = batch_size_train
+        self.num_instances = num_instances
+
+        common = dict(
+            mode="train", combineall=combineall, root=root, split_id=split_id,
+            height=height, width=width, verbose=verbose, **dataset_kwargs,
+        )
+        if verbose:
+            print("=> Loading train (source) dataset")
+        trainset = sum(
+            (init_image_dataset(name, **common) for name in self.sources[1:]),
+            init_image_dataset(self.sources[0], **common),
+        )
+        self.trainset = trainset
+        self._num_train_pids = trainset.num_train_pids
+        self._num_train_cams = trainset.num_train_cams
+        first = trainset.train[0][0]
+        self._num_streams = len(first) if isinstance(first, (list, tuple)) else 1
+
+        self.train_loader = DataLoader(
+            trainset,
+            build_train_sampler(
+                trainset.train, train_sampler,
+                batch_size=batch_size_train, num_instances=num_instances,
+                num_cams=num_cams, num_datasets=num_datasets, seed=seed,
+            ),
+            batch_size=batch_size_train,
+            drop_last=True,
+            workers=workers,
+            prefetch=prefetch,
+        )
+
+        # optional unlabeled target train loader (reference :231-270)
+        self.train_loader_t = None
+        if load_train_targets:
+            if set(self.sources) & set(self.targets):
+                raise ValueError(
+                    "sources={} and targets={} must not overlap when "
+                    "load_train_targets=True".format(self.sources, self.targets)
+                )
+            if verbose:
+                print("=> Loading train (target) dataset")
+            trainset_t = sum(
+                (init_image_dataset(name, **common) for name in self.targets[1:]),
+                init_image_dataset(self.targets[0], **common),
+            )
+            self.train_loader_t = DataLoader(
+                trainset_t,
+                build_train_sampler(
+                    trainset_t.train, train_sampler_t,
+                    batch_size=batch_size_train, num_instances=num_instances,
+                    seed=seed,
+                ),
+                batch_size=batch_size_train,
+                drop_last=True,
+                workers=workers,
+                prefetch=prefetch,
+            )
+
+        if verbose:
+            print("=> Loading test (target) dataset")
+        self.test_loader: Dict[str, Dict[str, DataLoader]] = {}
+        self.test_dataset: Dict[str, Dict[str, list]] = {}
+        for name in self.targets:
+            qset = init_image_dataset(
+                name, mode="query", combineall=combineall, root=root,
+                split_id=split_id, height=height, width=width,
+                verbose=False, **dataset_kwargs,
+            )
+            gset = init_image_dataset(
+                name, mode="gallery", combineall=combineall, root=root,
+                split_id=split_id, height=height, width=width,
+                verbose=False, **dataset_kwargs,
+            )
+            mk = lambda ds: DataLoader(
+                ds, sampler=range(len(ds)), batch_size=batch_size_test,
+                drop_last=False, workers=workers, prefetch=prefetch,
+            )
+            self.test_loader[name] = {"query": mk(qset), "gallery": mk(gset)}
+            self.test_dataset[name] = {"query": qset.query, "gallery": gset.gallery}
+
+        if verbose:
+            print("\n  **************** Summary ****************")
+            print(f"  source            : {self.sources}")
+            print(f"  # source datasets : {len(self.sources)}")
+            print(f"  # source ids      : {self.num_train_pids}")
+            print(f"  # source images   : {len(trainset.train)}")
+            print(f"  # source cameras  : {self.num_train_cams}")
+            print(f"  target            : {self.targets}")
+            print("  *****************************************\n")
+
+
+class VideoDataManager(DataManager):
+    """(reference ``datamanager.py:351-555``)"""
+
+    data_type = "video"
+
+    def __init__(
+        self,
+        root="",
+        sources=None,
+        targets=None,
+        height=256,
+        width=128,
+        transforms="random_flip",
+        norm_mean=None,
+        norm_std=None,
+        use_gpu=False,
+        split_id=0,
+        combineall=False,
+        batch_size_train=3,
+        batch_size_test=3,
+        workers=4,
+        num_instances=4,
+        num_cams=1,
+        num_datasets=1,
+        train_sampler="RandomSampler",
+        seq_len=15,
+        sample_method="evenly",
+        seed=None,
+        verbose=True,
+        **dataset_kwargs,
+    ):
+        super().__init__(
+            sources=sources, targets=targets, height=height, width=width,
+            transforms=transforms, norm_mean=norm_mean, norm_std=norm_std,
+            use_gpu=use_gpu, verbose=verbose,
+        )
+        common = dict(
+            mode="train", combineall=combineall, root=root, split_id=split_id,
+            height=height, width=width, seq_len=seq_len,
+            sample_method=sample_method, verbose=verbose, **dataset_kwargs,
+        )
+        trainset = sum(
+            (init_video_dataset(name, **common) for name in self.sources[1:]),
+            init_video_dataset(self.sources[0], **common),
+        )
+        self.trainset = trainset
+        self._num_train_pids = trainset.num_train_pids
+        self._num_train_cams = trainset.num_train_cams
+        self._num_streams = 1
+        self.seq_len = seq_len
+
+        self.train_loader = DataLoader(
+            trainset,
+            build_train_sampler(
+                trainset.train, train_sampler, batch_size=batch_size_train,
+                num_instances=num_instances, num_cams=num_cams,
+                num_datasets=num_datasets, seed=seed,
+            ),
+            batch_size=batch_size_train,
+            drop_last=True,
+            workers=workers,
+        )
+
+        self.test_loader = {}
+        self.test_dataset = {}
+        for name in self.targets:
+            qset = init_video_dataset(
+                name, mode="query", combineall=combineall, root=root,
+                split_id=split_id, height=height, width=width, seq_len=seq_len,
+                sample_method=sample_method, verbose=False, **dataset_kwargs,
+            )
+            gset = init_video_dataset(
+                name, mode="gallery", combineall=combineall, root=root,
+                split_id=split_id, height=height, width=width, seq_len=seq_len,
+                sample_method=sample_method, verbose=False, **dataset_kwargs,
+            )
+            mk = lambda ds: DataLoader(
+                ds, sampler=range(len(ds)), batch_size=batch_size_test,
+                drop_last=False, workers=workers,
+            )
+            self.test_loader[name] = {"query": mk(qset), "gallery": mk(gset)}
+            self.test_dataset[name] = {"query": qset.query, "gallery": gset.gallery}

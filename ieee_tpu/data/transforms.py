@@ -1,0 +1,191 @@
+"""Device-side batched image transforms, compiled into the input pipeline.
+
+Reference analog: ``torchreid/data/transforms.py:233-326`` (per-image PIL
+pipelines on the host). TPU-native re-design (BASELINE.json north star #1):
+the host only decodes jpg -> uint8 (resized once at decode); everything else —
+flip, crop-translate, color jitter, normalize, random-erase — runs as ONE
+compiled function over the whole (B, H, W, 3) uint8 batch on device, RNG-keyed
+(``jax.random``), so augmentation is deterministic given the epoch/step key.
+
+Parameters mirror the reference ops:
+ - random_flip: p=0.5 horizontal
+ - random_crop (Random2DTranslation, ``transforms.py:12-48``): p=0.5, upscale
+   1.125x then random crop back to (H, W)
+ - color_jitter (``transforms.py:299-302``): brightness=0.2, contrast=0.15
+ - random_erase (``transforms.py:51-106``): p=0.5, area in [0.02, 0.4],
+   aspect in [0.3, 1/0.3], fill = [0.4914, 0.4822, 0.4465] (pre-normalize
+   pixel value). Divergence: the reference rejection-samples up to 100
+   attempts for a rectangle that fits; we clamp the sampled rectangle to the
+   image instead (a fit always exists) — same marginal behavior, static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+AVAI_TRANSFORMS = [
+    "random_flip",
+    "random_crop",
+    "color_jitter",
+    "random_erase",
+    "random_patch",  # accepted, approximated (see _random_patch)
+]
+
+
+def _normalize(x, mean, std):
+    return (x - jnp.asarray(mean, x.dtype)) / jnp.asarray(std, x.dtype)
+
+
+def _random_flip(key, x):
+    b = x.shape[0]
+    flip = jax.random.bernoulli(key, 0.5, (b,))
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+def _random_crop(key, x, height, width):
+    """Random2DTranslation: upscale 1.125x + random crop, p=0.5."""
+    b = x.shape[0]
+    nh, nw = int(round(height * 1.125)), int(round(width * 1.125))
+    big = jax.image.resize(x, (b, nh, nw, x.shape[3]), method="bilinear")
+    k1, k2, k3 = jax.random.split(key, 3)
+    y0 = jax.random.randint(k1, (b,), 0, nh - height + 1)
+    x0 = jax.random.randint(k2, (b,), 0, nw - width + 1)
+
+    def crop_one(img, yy, xx):
+        return jax.lax.dynamic_slice(img, (yy, xx, 0), (height, width, img.shape[2]))
+
+    cropped = jax.vmap(crop_one)(big, y0, x0)
+    do = jax.random.bernoulli(k3, 0.5, (b,))
+    return jnp.where(do[:, None, None, None], cropped, x)
+
+
+def _color_jitter(key, x, brightness=0.2, contrast=0.15):
+    """torchvision-style brightness/contrast jitter on [0,1] images."""
+    b = x.shape[0]
+    k1, k2 = jax.random.split(key)
+    bf = jax.random.uniform(k1, (b, 1, 1, 1), minval=1 - brightness,
+                            maxval=1 + brightness)
+    x = jnp.clip(x * bf, 0.0, 1.0)
+    if contrast > 0:
+        cf = jax.random.uniform(k2, (b, 1, 1, 1), minval=1 - contrast,
+                                maxval=1 + contrast)
+        gray = (
+            0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+        ).mean(axis=(1, 2), keepdims=True)
+        x = jnp.clip((x - gray) * cf + gray, 0.0, 1.0)
+    return x
+
+
+def _random_erase(key, x, sl=0.02, sh=0.4, r1=0.3,
+                  mean=(0.4914, 0.4822, 0.4465), p=0.5):
+    """Masked fixed-shape random erasing (operates pre-normalization)."""
+    b, h, w, c = x.shape
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    area = h * w
+    target = jax.random.uniform(k1, (b,), minval=sl, maxval=sh) * area
+    aspect = jax.random.uniform(k2, (b,), minval=r1, maxval=1.0 / r1)
+    eh = jnp.clip(jnp.round(jnp.sqrt(target * aspect)), 1, h - 1).astype(jnp.int32)
+    ew = jnp.clip(jnp.round(jnp.sqrt(target / aspect)), 1, w - 1).astype(jnp.int32)
+    y0 = (jax.random.uniform(k3, (b,)) * (h - eh)).astype(jnp.int32)
+    x0 = (jax.random.uniform(k4, (b,)) * (w - ew)).astype(jnp.int32)
+    do = jax.random.bernoulli(k5, p, (b,))
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    inside = (
+        (rows >= y0[:, None, None])
+        & (rows < (y0 + eh)[:, None, None])
+        & (cols >= x0[:, None, None])
+        & (cols < (x0 + ew)[:, None, None])
+        & do[:, None, None]
+    )
+    fill = jnp.asarray(mean, x.dtype)
+    return jnp.where(inside[..., None], fill, x)
+
+
+def _random_patch(key, x, p=0.5):
+    """Approximation of the reference's cross-image RandomPatch
+    (``transforms.py:144-230``): paste a random crop taken from another image
+    in the batch (batch-rolled source instead of a persistent patch pool)."""
+    b, h, w, c = x.shape
+    k1, k2 = jax.random.split(key)
+    donor = jnp.roll(x, 1, axis=0)
+    patched = _random_erase(k1, x, sl=0.01, sh=0.5, r1=0.1, mean=(0, 0, 0), p=1.0)
+    # where _random_erase zeroed, substitute donor pixels
+    mask = (patched == 0) & (x != 0)
+    mixed = jnp.where(mask, donor, x)
+    do = jax.random.bernoulli(k2, p, (b,))
+    return jnp.where(do[:, None, None, None], mixed, x)
+
+
+def build_transforms(
+    height: int,
+    width: int,
+    transforms="random_flip",
+    norm_mean: Sequence[float] = (0.485, 0.456, 0.406),
+    norm_std: Sequence[float] = (0.229, 0.224, 0.225),
+    k_tfm: int = 1,
+    verbose: bool = True,
+    **kwargs,
+) -> Tuple[Callable, Callable]:
+    """Returns (train_fn, test_fn):
+      train_fn(key, batch_uint8) -> normalized float32 (B,H,W,3)
+      test_fn(batch_uint8) -> normalized float32 (B,H,W,3)
+    Both are jit-compiled once per shape.
+    """
+    if transforms is None:
+        transforms = []
+    if isinstance(transforms, str):
+        transforms = [transforms]
+    if not isinstance(transforms, list):
+        raise ValueError(f"transforms must be a list of strings, got "
+                         f"{type(transforms)}")
+    transforms = [t.lower() for t in transforms]
+    for t in transforms:
+        if t not in AVAI_TRANSFORMS:
+            raise ValueError(f"unknown transform {t}; choose from {AVAI_TRANSFORMS}")
+    if k_tfm != 1:
+        raise NotImplementedError("k_tfm > 1 not supported yet")
+
+    if norm_mean is None or norm_std is None:
+        norm_mean = (0.485, 0.456, 0.406)
+        norm_std = (0.229, 0.224, 0.225)
+    mean = tuple(float(m) for m in norm_mean)
+    std = tuple(float(s) for s in norm_std)
+
+    if verbose:
+        print("Building train transforms ...")
+        print(f"+ resize to {height}x{width} (host decode)")
+        for t in transforms:
+            print(f"+ {t} (device)")
+        print("+ to float [0,1] + normalization (device)")
+
+    @jax.jit
+    def train_fn(key, batch):
+        x = batch.astype(jnp.float32) / 255.0
+        keys = jax.random.split(key, 5)
+        if "random_flip" in transforms:
+            x = _random_flip(keys[0], x)
+        if "random_crop" in transforms:
+            x = _random_crop(keys[1], x, height, width)
+        if "random_patch" in transforms:
+            x = _random_patch(keys[2], x)
+        if "color_jitter" in transforms:
+            x = _color_jitter(keys[3], x)
+        x = _normalize(x, mean, std)
+        if "random_erase" in transforms:
+            # reference order: Normalize THEN RandomErasing(mean=norm_mean)
+            # (``transforms.py:310-312``) — the fill value norm_mean is
+            # written into the already-normalized tensor verbatim
+            x = _random_erase(keys[4], x, mean=mean)
+        return x
+
+    @jax.jit
+    def test_fn(batch):
+        return _normalize(batch.astype(jnp.float32) / 255.0, mean, std)
+
+    return train_fn, test_fn
