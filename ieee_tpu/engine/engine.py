@@ -1,0 +1,437 @@
+"""Engine base: run / train / test / evaluate.
+
+Reference analog: ``torchreid/engine/engine.py:126-529``. Differences that are
+deliberate TPU-native design (SURVEY §7):
+ - the whole forward+loss+backward+optimizer step (plus the device-side batch
+   augmentation) compiles to ONE donated XLA program; the host loop only
+   feeds uint8 batches and logs;
+ - batches are sharded over the mesh's ``data`` axis (SPMD data parallelism —
+   the reference's nn.DataParallel); params/opt state are replicated and XLA
+   inserts the gradient all-reduce over ICI;
+ - BatchNorm statistics are GLOBAL across the data axis (pjit semantics) —
+   stronger than DataParallel's per-replica stats; documented divergence;
+ - the final epoch IS evaluated and checkpointed (the reference's run() loses
+   the last epoch's weights, ``engine.py:216`` — documented fix);
+ - ``Engine.test`` returns the mAP of the LAST target dataset only, matching
+   the reference's quirk (``engine.py:319-337``).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import compute_distance_matrix, evaluate_rank
+from ..optim import set_lr
+from ..parallel import batch_sharding, make_mesh, replicate
+from ..utils.avgmeter import AverageMeter, MetricMeter
+from ..utils.checkpoint import resume_from_checkpoint, save_checkpoint
+from ..utils.tools import mkdir_if_missing
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _traced_accuracy(logits, pids):
+    """Top-1 accuracy (%), averaged over the part axis when present —
+    matches the reference's per-part accuracy averaging
+    (``engine/image/margin.py:127-137``)."""
+    if logits.ndim == 3:  # (B, P, C)
+        preds = jnp.argmax(logits, axis=-1)  # (B, P)
+        return 100.0 * jnp.mean((preds == pids[:, None]).astype(jnp.float32))
+    preds = jnp.argmax(logits, axis=-1)
+    return 100.0 * jnp.mean((preds == pids).astype(jnp.float32))
+
+
+class Engine:
+    """Base engine. Subclasses implement ``compute_loss(out, pids)`` — a
+    jax-traceable function from model outputs to (scalar loss, metrics dict).
+    """
+
+    def __init__(self, datamanager, model, optimizer=None, scheduler=None,
+                 use_gpu: bool = True, mesh=None, seed: int = 1,
+                 variables=None, donate: bool = True):
+        self.datamanager = datamanager
+        self.model = model
+        self.optimizer = optimizer
+        self.scheduler = scheduler or (lambda epoch: 0.0)
+        self.use_gpu = use_gpu  # API parity; devices come from the mesh
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.donate = donate
+
+        self.train_loader = datamanager.train_loader
+        self.test_loader = datamanager.test_loader
+        self.epoch = 0
+        self.start_epoch = 0
+        self.max_epoch = 1
+        self.writer = None  # observability hook (jsonl); see _log_metrics
+
+        # --- state init ---------------------------------------------------
+        if variables is None:
+            variables = model.init_variables(
+                jax.random.PRNGKey(seed), batch=2,
+                height=datamanager.height, width=datamanager.width,
+            )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = optimizer.init(params) if optimizer is not None else None
+        state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        # replicate over the mesh once; batches get sharded per step
+        self.state = replicate(self.mesh, state)
+        self.rng = jax.random.PRNGKey(seed)
+
+        self._train_step_fn: Optional[Callable] = None
+        self._eval_step_fn: Optional[Callable] = None
+        self._metrics_log = []
+        self._host_step = 0
+
+    # ------------------------------------------------------------------
+    # subclass interface
+    # ------------------------------------------------------------------
+    def compute_loss(self, out, pids):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _transform_train(self, key, imgs):
+        tfm = self.datamanager.transform_tr
+        if isinstance(imgs, (tuple, list)):
+            # independent augmentation draw per modality, as the reference's
+            # per-image transform application (``dataset.py:334-339``)
+            return tuple(
+                tfm(jax.random.fold_in(key, i), m) for i, m in enumerate(imgs)
+            )
+        return tfm(key, imgs)
+
+    def _build_train_step(self):
+        model = self.model
+        tx = self.optimizer
+
+        def loss_fn(params, batch_stats, imgs, pids):
+            out, updates = model.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = self.compute_loss(out, pids)
+            return loss, (metrics, updates["batch_stats"])
+
+        def step(state: TrainState, imgs, pids, key, lr, mask):
+            imgs = self._transform_train(key, imgs)
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, imgs, pids)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            import optax
+
+            updates, new_opt_state = tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            if mask is not None:
+                # two-stepped transfer learning: keep non-open params frozen
+                new_params = jax.tree_util.tree_map(
+                    lambda new, old, m: jnp.where(m, new, old),
+                    new_params, state.params, mask,
+                )
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            new_state = TrainState(
+                params=new_params, batch_stats=new_stats,
+                opt_state=new_opt_state, step=state.step + 1,
+            )
+            return new_state, metrics
+
+        donate = (0,) if self.donate else ()
+        return jax.jit(step, donate_argnums=donate, static_argnums=())
+
+    def _build_eval_step(self):
+        model = self.model
+        tfm = self.datamanager.transform_te
+
+        def step(params, batch_stats, imgs):
+            if isinstance(imgs, (tuple, list)):
+                imgs = tuple(tfm(m) for m in imgs)
+            else:
+                imgs = tfm(imgs)
+            return model.module.apply(
+                {"params": params, "batch_stats": batch_stats}, imgs,
+                train=False,
+            )
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    # run / train / test (reference Engine.run, engine.py:126-232)
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        save_dir: str = "log",
+        max_epoch: int = 0,
+        start_epoch: int = 0,
+        print_freq: int = 10,
+        fixbase_epoch: int = 0,
+        open_layers=None,
+        start_eval: int = 0,
+        eval_freq: int = -1,
+        test_only: bool = False,
+        dist_metric: str = "euclidean",
+        normalize_feature: bool = False,
+        visrank: bool = False,
+        visrank_topk: int = 10,
+        use_metric_cuhk03: bool = False,
+        ranks=(1, 5, 10, 20),
+        rerank: bool = False,
+        resume: str = "",
+    ) -> float:
+        if resume:
+            self.state, start_epoch = resume_from_checkpoint(resume, self.state)
+
+        if test_only:
+            return self.test(
+                dist_metric=dist_metric, normalize_feature=normalize_feature,
+                visrank=visrank, visrank_topk=visrank_topk, save_dir=save_dir,
+                use_metric_cuhk03=use_metric_cuhk03, ranks=ranks, rerank=rerank,
+            )
+
+        time_start = time.time()
+        self.start_epoch = start_epoch
+        self.max_epoch = max_epoch
+        print("=> Start training")
+
+        rank1 = 0.0
+        for self.epoch in range(start_epoch, max_epoch):
+            self.train(print_freq=print_freq, fixbase_epoch=fixbase_epoch,
+                       open_layers=open_layers)
+            is_last = (self.epoch + 1) == max_epoch
+            should_eval = (
+                eval_freq > 0
+                and (self.epoch + 1) >= start_eval
+                and (self.epoch + 1) % eval_freq == 0
+            )
+            # divergence from reference: the last epoch IS evaluated + saved
+            # (reference drops it, engine.py:216)
+            if should_eval or is_last:
+                rank1 = self.test(
+                    dist_metric=dist_metric,
+                    normalize_feature=normalize_feature, visrank=visrank,
+                    visrank_topk=visrank_topk, save_dir=save_dir,
+                    use_metric_cuhk03=use_metric_cuhk03, ranks=ranks,
+                    rerank=rerank,
+                )
+                self.save_model(self.epoch, rank1, save_dir)
+
+        elapsed = round(time.time() - time_start)
+        import datetime
+
+        print(f"Elapsed {datetime.timedelta(seconds=elapsed)}")
+        return rank1
+
+    def train(self, print_freq=10, fixbase_epoch=0, open_layers=None):
+        losses = MetricMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+
+        lr = float(self.scheduler(self.epoch))
+        fixbase = self.epoch < fixbase_epoch and open_layers
+        if fixbase:
+            print(f"* Only train {open_layers} (epoch: {self.epoch + 1}/"
+                  f"{fixbase_epoch})")
+        mask = self._open_layers_mask(open_layers) if fixbase else None
+
+        num_batches = len(self.train_loader)
+        in_shard = batch_sharding(self.mesh)
+        end = time.time()
+        for batch_idx, data in enumerate(self.train_loader):
+            imgs, pids = self._put_batch(data, in_shard)
+            data_time.update(time.time() - end)
+
+            key = jax.random.fold_in(self.rng, self._host_step)
+            self._host_step += 1
+            # (divergence: reference also flips frozen BN to eval mode during
+            # fixbase, torchtools.py:171-221; here frozen params stay frozen
+            # via the in-step mask while BN stats still update)
+            self.state, metrics = self._train_step_fn(
+                self.state, imgs, pids, key, lr, mask
+            )
+
+            batch_time.update(time.time() - end)
+            losses.update({k: float(v) for k, v in metrics.items()})
+
+            if (batch_idx + 1) % print_freq == 0:
+                nb_left = num_batches - (batch_idx + 1)
+                ep_left = self.max_epoch - (self.epoch + 1)
+                eta = batch_time.avg * (nb_left + ep_left * num_batches)
+                import datetime
+
+                eta_str = str(datetime.timedelta(seconds=int(eta)))
+                print(
+                    "epoch: [{0}/{1}][{2}/{3}]\t"
+                    "time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                    "data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                    "eta {eta}\t"
+                    "{losses}\t"
+                    "lr {lr:.6f}".format(
+                        self.epoch + 1, self.max_epoch, batch_idx + 1,
+                        num_batches, batch_time=batch_time,
+                        data_time=data_time, eta=eta_str, losses=losses, lr=lr,
+                    )
+                )
+            end = time.time()
+
+    def _put_batch(self, data, in_shard):
+        imgs = data["img"]
+        if isinstance(imgs, (tuple, list)):
+            imgs = tuple(jax.device_put(m, in_shard) for m in imgs)
+        else:
+            imgs = jax.device_put(imgs, in_shard)
+        pids = jax.device_put(data["pid"], in_shard)
+        return imgs, pids
+
+    def _open_layers_mask(self, open_layers):
+        """1.0 for params in open layers (trainable during fixbase), else 0."""
+        open_layers = [open_layers] if isinstance(open_layers, str) else \
+            list(open_layers)
+
+        def label(path, _):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return jnp.asarray(
+                1.0 if any(o in top for o in open_layers) else 0.0
+            )
+
+        return jax.tree_util.tree_map_with_path(label, self.state.params)
+
+    # ------------------------------------------------------------------
+    # evaluation (reference Engine.test/_evaluate, engine.py:287-439)
+    # ------------------------------------------------------------------
+    def test(self, dist_metric="euclidean", normalize_feature=False,
+             visrank=False, visrank_topk=10, save_dir="", use_metric_cuhk03=False,
+             ranks=(1, 5, 10, 20), rerank=False) -> float:
+        targets = list(self.test_loader.keys())
+        rank1 = 0.0
+        for name in targets:
+            domain = "source" if name in self.datamanager.sources else "target"
+            print(f"##### Evaluating {name} ({domain}) #####")
+            query_loader = self.test_loader[name]["query"]
+            gallery_loader = self.test_loader[name]["gallery"]
+            rank1, mAP = self._evaluate(
+                dataset_name=name, query_loader=query_loader,
+                gallery_loader=gallery_loader, dist_metric=dist_metric,
+                normalize_feature=normalize_feature, visrank=visrank,
+                visrank_topk=visrank_topk, save_dir=save_dir,
+                use_metric_cuhk03=use_metric_cuhk03, ranks=ranks, rerank=rerank,
+            )
+        return rank1  # last target only — reference quirk kept
+
+    def _feature_extraction(self, loader):
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._build_eval_step()
+        feats, pids, camids = [], [], []
+        t0 = time.time()
+        batch_size = loader.batch_size
+        for data in loader:
+            imgs = data["img"]
+            multi = isinstance(imgs, (tuple, list))
+            n = (imgs[0] if multi else imgs).shape[0]
+            if n < batch_size:  # pad the tail batch to avoid a recompile
+                pad = batch_size - n
+                if multi:
+                    imgs = tuple(
+                        np.concatenate([m, np.repeat(m[-1:], pad, 0)]) for m in imgs
+                    )
+                else:
+                    imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            f = self._eval_step_fn(self.state.params, self.state.batch_stats,
+                                   imgs)
+            feats.append(np.asarray(f[:n], np.float32))
+            pids.extend(data["pid"].tolist())
+            camids.extend(data["camid"].tolist())
+        print(f"Speed: {(time.time() - t0) / max(len(feats), 1):.4f} sec/batch")
+        return np.concatenate(feats), np.asarray(pids), np.asarray(camids)
+
+    def _evaluate(self, dataset_name="", query_loader=None, gallery_loader=None,
+                  dist_metric="euclidean", normalize_feature=False,
+                  visrank=False, visrank_topk=10, save_dir="",
+                  use_metric_cuhk03=False, ranks=(1, 5, 10, 20), rerank=False):
+        print("Extracting features from query set ...")
+        qf, q_pids, q_camids = self._feature_extraction(query_loader)
+        print(f"Done, obtained {qf.shape[0]}-by-{qf.shape[1]} matrix")
+        print("Extracting features from gallery set ...")
+        gf, g_pids, g_camids = self._feature_extraction(gallery_loader)
+        print(f"Done, obtained {gf.shape[0]}-by-{gf.shape[1]} matrix")
+
+        if normalize_feature:
+            print("Normalizing features with L2 norm ...")
+            qf = qf / np.maximum(np.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+            gf = gf / np.maximum(np.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
+
+        print(f"Computing distance matrix with metric={dist_metric} ...")
+        distmat = np.asarray(compute_distance_matrix(qf, gf, dist_metric))
+
+        if rerank:
+            print("Applying person re-ranking ...")
+            from ..ops.rerank import re_ranking
+
+            distmat_qq = np.asarray(compute_distance_matrix(qf, qf, dist_metric))
+            distmat_gg = np.asarray(compute_distance_matrix(gf, gf, dist_metric))
+            distmat = re_ranking(distmat, distmat_qq, distmat_gg)
+
+        print("Computing CMC and mAP ...")
+        cmc, mAP = evaluate_rank(
+            distmat, q_pids, g_pids, q_camids, g_camids,
+            use_metric_cuhk03=use_metric_cuhk03,
+        )
+        print("** Results **")
+        print(f"mAP: {mAP:.1%}")
+        print("CMC curve")
+        for r in ranks:
+            print(f"Rank-{r:<3}: {cmc[r - 1]:.1%}")
+
+        if visrank:
+            from ..utils.reidtools import visualize_ranked_results
+
+            visualize_ranked_results(
+                distmat, self.datamanager.fetch_test_loaders(dataset_name),
+                self.datamanager.data_type, width=self.datamanager.width,
+                height=self.datamanager.height,
+                save_dir=osp.join(save_dir, "visrank_" + dataset_name),
+                topk=visrank_topk,
+            )
+        return cmc[0], mAP
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference Engine.save_model, engine.py:87-101)
+    # ------------------------------------------------------------------
+    def save_model(self, epoch, rank1, save_dir, is_best=False):
+        save_checkpoint(
+            self.state, osp.join(save_dir, "model"), epoch + 1, rank1=rank1,
+            is_best=is_best,
+        )
+
+    # API parity helpers -------------------------------------------------
+    def parse_data_for_train(self, data):
+        return data["img"], data["pid"]
+
+    def parse_data_for_eval(self, data):
+        return data["img"], data["pid"], data["camid"]
+
+    def extract_features(self, imgs):
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._build_eval_step()
+        return self._eval_step_fn(self.state.params, self.state.batch_stats,
+                                  imgs)

@@ -1,0 +1,58 @@
+"""Image3MEngine — the full-IEEE training engine (loss = 3M margin + CE).
+
+Reference analog: ``torchreid/engine/image/margin.py:9-154``:
+``loss = weight_m * 3M(f_R, f_N, f_T) + weight_x * (CE_R + CE_N + CE_T)``.
+The reference's LossM logging bug (tensor not .item(), ``margin.py:145``) is
+fixed by construction — all metrics are scalars.
+"""
+
+from __future__ import annotations
+
+from ...losses import multi_modal_margin_loss
+from ..engine import Engine, _traced_accuracy
+from .softmax import _deep_ce
+
+
+class Image3MEngine(Engine):
+    def __init__(self, datamanager, model, optimizer=None, scheduler=None,
+                 use_gpu=True, label_smooth=True, margin=3.0, weight_m=1.0,
+                 weight_x=1.0, **kwargs):
+        super().__init__(datamanager, model, optimizer, scheduler,
+                         use_gpu=use_gpu, **kwargs)
+        self.label_smooth = label_smooth
+        self.margin = float(margin)
+        self.weight_m = weight_m
+        self.weight_x = weight_x
+        self.num_classes = datamanager.num_train_pids
+        # (P, K) contract from the RandomIdentitySampler
+        self.num_instances = getattr(datamanager, "num_instances", 4)
+
+    def compute_loss(self, out, pids):
+        loss = 0.0
+        metrics = {}
+        if self.weight_m > 0:
+            loss_m = multi_modal_margin_loss(
+                out["feat_R"], out["feat_N"], out["feat_T"],
+                num_instances=self.num_instances, margin=self.margin,
+            )
+            loss = loss + self.weight_m * loss_m
+            metrics["LossM"] = loss_m
+        if self.weight_x > 0:
+            loss_R = _deep_ce(out["logits_R"], pids, self.num_classes,
+                              self.label_smooth)
+            loss_N = _deep_ce(out["logits_N"], pids, self.num_classes,
+                              self.label_smooth)
+            loss_T = _deep_ce(out["logits_T"], pids, self.num_classes,
+                              self.label_smooth)
+            loss_x = loss_R + loss_N + loss_T
+            loss = loss + self.weight_x * loss_x
+            metrics.update(
+                LossX=loss_x,
+                lossR=loss_R,
+                lossN=loss_N,
+                lossT=loss_T,
+                accR=_traced_accuracy(out["logits_R"], pids),
+                accN=_traced_accuracy(out["logits_N"], pids),
+                accT=_traced_accuracy(out["logits_T"], pids),
+            )
+        return loss, metrics

@@ -113,12 +113,14 @@ def ieee3modal_part(
     interaction=True,
     attention=True,
     using_REM=True,
+    backbone_layers=(3, 4, 6, 3),
     dtype=jnp.bfloat16,
     **kwargs,
 ):
     """The IEEE model (reference factory ``ieee3modalPart``,
     ``models/ieee3modalPart.py:542-555``). Ablation flags map to the
-    reference's ``interaction/attention/using_REM`` attributes."""
+    reference's ``interaction/attention/using_REM`` attributes.
+    ``backbone_layers`` shrinks the trunks for CI-scale tests."""
     module = IEEE3modalPart(
         num_classes=num_classes,
         loss=loss,
@@ -126,6 +128,7 @@ def ieee3modal_part(
         interaction=interaction,
         attention=attention,
         using_REM=using_REM,
+        backbone_layers=tuple(backbone_layers),
         dtype=dtype,
     )
     meta = {
@@ -142,6 +145,49 @@ def ieee3modal_part(
         num_streams=3,
         feature_dim=parts * 128 * 3,
         meta=meta,
+    )
+
+
+def _make_osnet(arch, num_classes, loss, pretrained, dtype=jnp.bfloat16, **kw):
+    from .osnet import OSNET_WIDTHS, OSNet
+
+    module = OSNet(num_classes=num_classes, loss=loss,
+                   widths=OSNET_WIDTHS[arch], dtype=dtype)
+    return ReIDModel(
+        module=module, name=arch, num_classes=num_classes, loss=loss,
+        num_streams=1, feature_dim=512,
+        meta={"arch": arch, "trunks": {}},  # no local torchvision weights
+    )
+
+
+for _arch in ("osnet_x1_0", "osnet_x0_75", "osnet_x0_5", "osnet_x0_25"):
+    def _osnet_factory(num_classes, loss="softmax", pretrained=True,
+                       _arch=_arch, **kw):
+        return _make_osnet(_arch, num_classes, loss, pretrained, **kw)
+
+    __model_factory[_arch] = _osnet_factory
+
+
+@register_model("pfnet")
+def pfnet(num_classes, loss="softmax", pretrained=True, parts=2,
+          backbone_layers=(3, 4, 6, 3), dtype=jnp.bfloat16, **kwargs):
+    """PFNet baseline (reference ``models/pfnet.py:476-490``; registered here
+    although the reference leaves it out of its factory)."""
+    from .pfnet import PFNET
+
+    module = PFNET(
+        num_classes=num_classes, loss=loss, parts=parts,
+        backbone_layers=tuple(backbone_layers), dtype=dtype,
+    )
+    meta = {
+        "trunks": (
+            {f"backbone_{i}": "resnet50" for i in range(3)} if pretrained else {}
+        ),
+        "parts": parts,
+    }
+    return ReIDModel(
+        module=module, name="pfnet", num_classes=num_classes, loss=loss,
+        num_streams=3, feature_dim=parts * 256 * 5, meta=meta,
     )
 
 

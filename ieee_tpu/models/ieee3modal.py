@@ -162,13 +162,14 @@ class IEEE3modalPart(nn.Module):
     interaction: bool = True
     attention: bool = True
     using_REM: bool = True
+    backbone_layers: Sequence[int] = (3, 4, 6, 3)  # ResNet-50 by default
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         self.backbones = [
             ResNetTrunk(
-                block="bottleneck", layers=(3, 4, 6, 3), last_stride=1,
-                dtype=self.dtype, name=f"backbone_{m}",
+                block="bottleneck", layers=tuple(self.backbone_layers),
+                last_stride=1, dtype=self.dtype, name=f"backbone_{m}",
             )
             for m in "RNT"
         ]

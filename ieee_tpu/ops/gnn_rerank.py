@@ -1,0 +1,67 @@
+"""GNN re-ranking (Zhang et al., arXiv:2012.07620) — TPU-native.
+
+Reference analog: ``torchreid/utils/GPU-Re-Ranking/`` — two CUDA kernels
+(``build_adjacency_matrix_kernel.cu``: scatter 1.0 at top-k ranks;
+``gnn_propagate_kernel.cu``: A_new[i,f] = sum_j A[rank[i,j],f] * S[i,j])
+driven by ``gnn_reranking.py:27-59``.
+
+TPU re-design: both kernels are re-expressed as dense one-hot scatters and an
+MXU matmul. The propagation step IS a sparse (k2-per-row) matrix product
+W @ A with W[i, rank[i,j]] = S[i,j]; at re-ID gallery sizes densifying W and
+letting the 128x128 systolic array chew through it beats a scatter-gather
+kernel by a wide margin — the whole re-rank compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["gnn_reranking"]
+
+
+def _scatter_rows(indices, values, n):
+    """W[i, indices[i, j]] = values[i, j] (duplicate j summed)."""
+    num, k = indices.shape
+    rows = jnp.repeat(jnp.arange(num), k)
+    cols = indices.reshape(-1)
+    vals = values.reshape(-1)
+    return jnp.zeros((num, n), vals.dtype).at[rows, cols].add(vals)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int):
+    query_num = X_q.shape[0]
+    X_u = jnp.concatenate([X_q, X_g], axis=0)
+    n = X_u.shape[0]
+    original_score = jnp.dot(X_u, X_u.T, preferred_element_type=jnp.float32)
+
+    # initial ranking list: top-k1 by similarity
+    S, initial_rank = jax.lax.top_k(original_score, k1)
+
+    # stage 1: adjacency (reference build_adjacency_matrix CUDA kernel)
+    A = _scatter_rows(initial_rank, jnp.ones_like(S), n)
+    S = S * S
+
+    # stage 2: two propagation rounds (reference gnn_propagate CUDA kernel)
+    if k2 != 1:
+        W = _scatter_rows(initial_rank[:, :k2], S[:, :k2], n)
+        for _ in range(2):
+            A = A + A.T
+            A = jnp.dot(W, A, preferred_element_type=jnp.float32)
+            A_norm = jnp.linalg.norm(A, axis=1, keepdims=True)
+            A = A / jnp.maximum(A_norm, 1e-12)
+
+    return jnp.dot(A[:query_num], A[query_num:].T,
+                   preferred_element_type=jnp.float32)
+
+
+def gnn_reranking(X_q, X_g, k1: int = 26, k2: int = 7):
+    """Returns the re-ranked gallery index list L (num_q, num_g), matching
+    the reference CLI contract (``gnn_reranking.py:27-59``). Features should
+    be L2-normalized (cosine similarity)."""
+    scores = _gnn_rerank_scores(jnp.asarray(X_q), jnp.asarray(X_g), k1, k2)
+    return np.asarray(jnp.argsort(-scores, axis=1))

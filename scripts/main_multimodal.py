@@ -1,0 +1,144 @@
+"""Canonical multi-modal train/eval entry point.
+
+Reference analog: ``scripts/mainMultiModal.py:150-241``: parse args -> merge
+config -> seed -> Logger tee -> datamanager -> engine dispatch by
+``cfg.loss.name`` -> model/optim/sched -> (resume) -> ``engine.run``.
+
+Usage:
+    python scripts/main_multimodal.py --config-file configs/rgbnt_ieee_part_margin.yaml \
+        --root /path/to/data [--seed N] [opts key value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+import jax
+
+from ieee_tpu.config import (
+    engine_run_kwargs,
+    get_default_config,
+    imagedata_kwargs,
+    lr_scheduler_kwargs,
+    optimizer_kwargs,
+)
+from ieee_tpu.data import ImageDataManager
+from ieee_tpu.engine import (
+    Image3MEngine,
+    ImageHCEngine,
+    ImageSoftmaxEngine,
+    ImageTripletEngine,
+    MultiModalImageSoftmaxEngine,
+)
+from ieee_tpu.models import apply_pretrained, build_model
+from ieee_tpu.optim import build_lr_scheduler, build_optimizer
+from ieee_tpu.utils import Logger, collect_env_info, set_random_seed
+
+
+def build_engine(cfg, datamanager, model, optimizer, scheduler, variables):
+    """Engine dispatch (reference ``mainMultiModal.py:45-130``). The
+    reference's ``CMT`` branch referenced a missing ImageCMTEngine (SURVEY
+    known-quirk list); it maps to the HC engine here (identical model output
+    contract)."""
+    common = dict(optimizer=optimizer, scheduler=scheduler,
+                  use_gpu=cfg.use_gpu, variables=variables,
+                  seed=cfg.train.seed)
+    name = cfg.loss.name
+    if name == "softmax":
+        if datamanager.num_streams > 1:
+            return MultiModalImageSoftmaxEngine(
+                datamanager, model, label_smooth=cfg.loss.softmax.label_smooth,
+                **common)
+        return ImageSoftmaxEngine(
+            datamanager, model, label_smooth=cfg.loss.softmax.label_smooth,
+            **common)
+    if name == "triplet":
+        return ImageTripletEngine(
+            datamanager, model, margin=cfg.loss.triplet_margin,
+            weight_t=cfg.loss.weight_t, weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    if name == "margin":
+        return Image3MEngine(
+            datamanager, model, margin=cfg.loss.ieee_margin,
+            weight_m=cfg.loss.weight_m, weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    if name in ("hcloss", "CMT"):
+        return ImageHCEngine(
+            datamanager, model, weight_m=cfg.loss.weight_m,
+            weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    raise ValueError(f"Unsupported loss: {name}")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("--config-file", type=str, default="",
+                        help="path to config file")
+    parser.add_argument("--root", type=str, default="", help="path to data root")
+    parser.add_argument("--seed", type=int, default=1, help="random seed")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="modify config options using the command-line")
+    args = parser.parse_args()
+
+    cfg = get_default_config()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.root:
+        cfg.data.root = args.root
+    cfg.train.seed = args.seed
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    set_random_seed(cfg.train.seed)
+
+    log_name = "test.log" if cfg.test.evaluate else "train.log"
+    log_name += time.strftime("-%Y-%m-%d-%H-%M-%S")
+    sys.stdout = Logger(osp.join(cfg.data.save_dir, log_name))
+
+    print(f"Show configuration\n{cfg.dump()}")
+    print(f"Collecting env info ...\n** System info **\n{collect_env_info()}\n")
+
+    datamanager = ImageDataManager(seed=cfg.train.seed, **imagedata_kwargs(cfg))
+
+    print(f"Building model: {cfg.model.name}")
+    model = build_model(
+        name=cfg.model.name,
+        num_classes=datamanager.num_train_pids,
+        loss=cfg.loss.name,
+        pretrained=cfg.model.pretrained,
+    )
+    variables = model.init_variables(
+        jax.random.PRNGKey(cfg.train.seed), batch=2,
+        height=cfg.data.height, width=cfg.data.width,
+    )
+    if cfg.model.pretrained:
+        variables = apply_pretrained(model, variables)
+    if cfg.model.load_weights:
+        from ieee_tpu.utils import load_pretrained_weights
+
+        variables = load_pretrained_weights(variables, cfg.model.load_weights)
+
+    optimizer = build_optimizer(params=variables["params"],
+                                **optimizer_kwargs(cfg))
+    scheduler = build_lr_scheduler(base_lr=cfg.train.lr,
+                                   **lr_scheduler_kwargs(cfg))
+
+    print(f"Building {cfg.loss.name}-engine for {cfg.data.type}-reid")
+    engine = build_engine(cfg, datamanager, model, optimizer, scheduler,
+                          variables)
+
+    run_kwargs = engine_run_kwargs(cfg)
+    if cfg.model.resume:
+        run_kwargs["resume"] = cfg.model.resume
+    engine.run(**run_kwargs)
+
+
+if __name__ == "__main__":
+    main()

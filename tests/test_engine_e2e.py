@@ -1,0 +1,114 @@
+"""End-to-end smoke tests: full train + eval loops on synthetic data (CPU).
+
+This is the test the reference never had (SURVEY §4): a 1-epoch train-step
+smoke covering config -> data -> model -> loss -> optimizer -> eval protocol.
+"""
+
+import numpy as np
+import pytest
+
+from ieee_tpu.data import ImageDataManager
+from ieee_tpu.engine import (
+    Image3MEngine,
+    ImageSoftmaxEngine,
+    MultiModalImageSoftmaxEngine,
+)
+from ieee_tpu.models import build_model
+from ieee_tpu.optim import build_lr_scheduler, build_optimizer
+
+
+def _make_dm(sources="synthetic", batch=8, **kw):
+    return ImageDataManager(
+        sources=sources, height=64, width=32, batch_size_train=batch,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+        **kw,
+    )
+
+
+def test_single_modal_softmax_train_and_eval(tmp_path):
+    dm = _make_dm("synthetic")
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="sgd", lr=0.01, momentum=0.9, sgd_nesterov=True)
+    sched = build_lr_scheduler("single_step", stepsize=20, base_lr=0.01)
+    eng = ImageSoftmaxEngine(dm, model, optimizer=tx, scheduler=sched, seed=0)
+
+    rank1 = eng.run(save_dir=str(tmp_path), max_epoch=1, eval_freq=1,
+                    print_freq=1, ranks=(1, 5))
+    assert 0.0 <= rank1 <= 1.0
+    # checkpoint written (including the final epoch — our divergence fix)
+    import os
+    assert any(f.startswith("model.msgpack-") for f in
+               os.listdir(tmp_path / "model"))
+
+
+def test_loss_decreases_single_modal():
+    dm = _make_dm("synthetic")
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="sgd", lr=0.05, momentum=0.9)
+    eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                             scheduler=lambda e: 0.05, seed=0)
+    eng.max_epoch = 3
+    losses = []
+    for epoch in range(3):
+        eng.epoch = epoch
+        import io, contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eng.train(print_freq=1000)
+        # read final loss from the meter
+        losses.append(eng_last_loss(eng))
+    assert losses[-1] < losses[0]
+
+
+def eng_last_loss(eng):
+    # re-run one batch to probe current loss level
+    import jax
+
+    data = next(iter(eng.train_loader))
+    imgs, pids = eng._put_batch(data, __import__(
+        "ieee_tpu.parallel", fromlist=["batch_sharding"]
+    ).batch_sharding(eng.mesh))
+    eng.state, metrics = eng._train_step_fn(eng.state, imgs, pids,
+                                            jax.random.PRNGKey(123), 0.0, None)
+    return float(metrics["loss"])
+
+
+@pytest.mark.parametrize("engine_cls,loss_name", [
+    (MultiModalImageSoftmaxEngine, "softmax"),
+    (Image3MEngine, "margin"),
+])
+def test_multimodal_engines_train_step(engine_cls, loss_name, tmp_path):
+    dm = _make_dm("synthetic_mm")
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss=loss_name, pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.001, momentum=0.9)
+    sched = build_lr_scheduler("multi_step", stepsize=[20, 40], base_lr=0.001)
+    kwargs = dict(margin=1.0, weight_m=1.0, weight_x=1.0) \
+        if loss_name == "margin" else {}
+    eng = engine_cls(dm, model, optimizer=tx, scheduler=sched, seed=0,
+                     **kwargs)
+
+    # single train epoch + eval (tiny), exercising the full loop
+    rank1 = eng.run(save_dir=str(tmp_path), max_epoch=1, eval_freq=-1,
+                    print_freq=2, ranks=(1,))
+    assert np.isfinite(rank1)
+
+
+def test_eval_feature_dim_is_2304():
+    dm = _make_dm("synthetic_mm")
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss="margin", pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.001)
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.001,
+                        seed=0)
+    qf, q_pids, q_camids = eng._feature_extraction(
+        dm.test_loader["synthetic_mm"]["query"]
+    )
+    assert qf.shape[1] == 2304
+    assert len(q_pids) == qf.shape[0]

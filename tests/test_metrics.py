@@ -114,3 +114,13 @@ def test_accuracy():
     assert top2 == pytest.approx(100.0)
     # list input takes first element
     assert accuracy([logits], target)[0] == pytest.approx(50.0)
+
+
+def test_native_cpp_rank_matches_numpy():
+    prob = _rand_eval_problem(seed=7)
+    cmc_np, map_np = eval_market1501_numpy(*prob, max_rank=20)
+    from ieee_tpu.native.ranking import eval_market1501_native
+
+    cmc_c, map_c = eval_market1501_native(*prob, max_rank=20)
+    np.testing.assert_allclose(cmc_c, cmc_np, rtol=1e-5, atol=1e-5)
+    assert abs(map_c - map_np) < 1e-5

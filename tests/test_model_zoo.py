@@ -1,0 +1,50 @@
+"""Shape smoke tests for the wider model zoo."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ieee_tpu.models import build_model
+
+
+def _rand_inputs(m, b=2, h=64, w=32, seed=0):
+    key = jax.random.PRNGKey(seed)
+    if m.num_streams == 1:
+        return jax.random.normal(key, (b, h, w, 3))
+    return tuple(
+        jax.random.normal(jax.random.fold_in(key, i), (b, h, w, 3))
+        for i in range(m.num_streams)
+    )
+
+
+def test_pfnet_shapes():
+    m = build_model("pfnet", num_classes=7, loss="softmax", pretrained=False,
+                    backbone_layers=(1, 1, 1, 1))
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    x = _rand_inputs(m)
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, 2560)  # 5 branches x 2 parts x 256
+    out, _ = m.apply(v, x, train=True)
+    assert out["logits_RGB"].shape == (2, 2, 7)
+    assert out["logits_all"].shape == (2, 7)
+
+
+def test_osnet_shapes():
+    m = build_model("osnet_x0_25", num_classes=7, loss="softmax",
+                    pretrained=False)
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    x = _rand_inputs(m)
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, 512)
+    out, _ = m.apply(v, x, train=True)
+    assert out.shape == (2, 7)
+
+
+def test_osnet_triplet_output():
+    m = build_model("osnet_x0_25", num_classes=5, loss="triplet",
+                    pretrained=False)
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    y, feat = m.apply(v, _rand_inputs(m), train=True)[0]
+    assert y.shape == (2, 5)
+    assert feat.shape == (2, 512)

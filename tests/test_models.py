@@ -37,7 +37,7 @@ def test_reid_resnet_outputs(loss, n_out):
 
 def test_ieee_model_shapes():
     m = build_model("ieee3modalPart", num_classes=9, loss="margin",
-                    pretrained=False)
+                    pretrained=False, backbone_layers=(1, 1, 1, 1))
     v = m.init_variables(0, batch=2, height=64, width=32)
     key = jax.random.PRNGKey(7)
     x = tuple(
@@ -61,6 +61,7 @@ def test_ieee_ablation_flags():
     m = build_model(
         "ieee3modalPart", num_classes=5, loss="softmax", pretrained=False,
         interaction=False, attention=False, using_REM=False,
+        backbone_layers=(1, 1, 1, 1),
     )
     v = m.init_variables(0, batch=2, height=64, width=32)
     feat = m.apply(v, m.dummy_input(2, 64, 32), train=False)
@@ -71,7 +72,7 @@ def test_ieee_ablation_flags():
 
 def test_ieee_last_stride_featuremap():
     m = build_model("ieee3modalPart", num_classes=5, loss="softmax",
-                    pretrained=False)
+                    pretrained=False, backbone_layers=(1, 1, 1, 1))
     v = m.init_variables(0, batch=1, height=256, width=128)
     maps = m.apply(v, m.dummy_input(1, 256, 128), train=False,
                    return_featuremaps=True)
