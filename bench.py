@@ -33,7 +33,7 @@ def main():
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
     from ieee_tpu.data import ImageDataManager
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     height, width = 256, 128
     num_pids = 171  # RGBNT201 train_171
 
@@ -61,18 +61,19 @@ def main():
     step_fn = eng._build_train_step()
 
     key = jax.random.PRNGKey(0)
-    # warmup / compile
+    # warmup / compile; sync via a host scalar pull (block_until_ready is
+    # unreliable through the axon PJRT tunnel)
     for i in range(3):
         eng.state, m = step_fn(eng.state, imgs, pids,
                                jax.random.fold_in(key, i), 0.001, None)
-    jax.block_until_ready(eng.state.params)
+        float(m["loss"])
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         eng.state, m = step_fn(eng.state, imgs, pids,
                                jax.random.fold_in(key, 100 + i), 0.001, None)
-    jax.block_until_ready(eng.state.params)
+    float(m["loss"])  # sync on the last step's output
     dt = time.perf_counter() - t0
 
     triplets_per_sec = n_steps * batch / dt
