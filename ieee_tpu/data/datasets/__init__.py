@@ -4,14 +4,42 @@ from __future__ import annotations
 
 from .base import Dataset, ImageDataset, MultiModalImageDataset, VideoDataset
 from .image.allday import AllDay
+from .image.cuhk01 import CUHK01
+from .image.cuhk02 import CUHK02
+from .image.cuhk03 import CUHK03
+from .image.cuhksysu import CUHKSYSU
+from .image.dukemtmcreid import DukeMTMCreID
+from .image.grid import GRID
+from .image.ilids import iLIDS
 from .image.market1501 import Market1501
 from .image.market_to_rgbnt201 import MarketToRGBNT201
+from .image.msmt17 import MSMT17
+from .image.prid import PRID
 from .image.rgbnt201 import RGBNT201
+from .image.sensereid import SenseReID
 from .image.synthetic import Synthetic, SyntheticMM
 from .image.uav import UAV
+from .image.university1652 import University1652
+from .image.viper import VIPeR
+from .video.dukemtmcvidreid import DukeMTMCVidReID
+from .video.ilidsvid import iLIDSVID
+from .video.mars import Mars
+from .video.prid2011 import PRID2011
 
 __image_datasets = {
     "market1501": Market1501,
+    "cuhk03": CUHK03,
+    "dukemtmcreid": DukeMTMCreID,
+    "msmt17": MSMT17,
+    "viper": VIPeR,
+    "grid": GRID,
+    "cuhk01": CUHK01,
+    "ilids": iLIDS,
+    "sensereid": SenseReID,
+    "prid": PRID,
+    "cuhk02": CUHK02,
+    "cuhksysu": CUHKSYSU,
+    "university1652": University1652,
     "RGBNT201": RGBNT201,
     "market_to_RGBNT201": MarketToRGBNT201,
     "AllDay": AllDay,
@@ -20,7 +48,12 @@ __image_datasets = {
     "synthetic_mm": SyntheticMM,
 }
 
-__video_datasets = {}
+__video_datasets = {
+    "mars": Mars,
+    "ilidsvid": iLIDSVID,
+    "prid2011": PRID2011,
+    "dukemtmcvidreid": DukeMTMCVidReID,
+}
 
 
 def init_image_dataset(name, **kwargs):

@@ -131,3 +131,26 @@ def test_image_datamanager_multimodal():
     # P x K structure: 2 pids x 4 instances
     pids = batch["pid"].reshape(2, 4)
     assert (pids == pids[:, :1]).all()
+
+
+def test_all_registered_datasets_importable():
+    """Every registered parser class constructs its path plumbing (actual
+    data dirs absent -> RuntimeError from check_before_run, which proves the
+    parser wired up correctly rather than crashing on import)."""
+    from ieee_tpu.data.datasets import (
+        init_image_dataset,
+        init_video_dataset,
+    )
+
+    image_names = [
+        "market1501", "cuhk03", "dukemtmcreid", "msmt17", "viper", "grid",
+        "cuhk01", "ilids", "sensereid", "prid", "cuhk02", "cuhksysu",
+        "university1652", "RGBNT201", "market_to_RGBNT201", "AllDay",
+        "UAVdata",
+    ]
+    for name in image_names:
+        with pytest.raises((RuntimeError, FileNotFoundError)):
+            init_image_dataset(name, root="/nonexistent-data-root")
+    for name in ["mars", "ilidsvid", "prid2011", "dukemtmcvidreid"]:
+        with pytest.raises((RuntimeError, FileNotFoundError)):
+            init_video_dataset(name, root="/nonexistent-data-root")
