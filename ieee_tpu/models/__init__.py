@@ -148,6 +148,144 @@ def ieee3modal_part(
     )
 
 
+def _wrap_trunk(trunk_partial, arch, num_classes, loss, feature_dim,
+                fc_dims=None, dropout_p=None, dtype=jnp.bfloat16, meta=None):
+    from .heads import TrunkWithHead
+
+    module = TrunkWithHead(
+        trunk=trunk_partial, num_classes=num_classes, loss=loss,
+        fc_dims=fc_dims, dropout_p=dropout_p, dtype=dtype,
+    )
+    return ReIDModel(
+        module=module, name=arch, num_classes=num_classes, loss=loss,
+        num_streams=1,
+        feature_dim=fc_dims[-1] if fc_dims else feature_dim,
+        meta=meta or {"arch": arch, "trunks": {}},
+    )
+
+
+def _register_trunk_models():
+    from functools import partial
+
+    from .densenet import DENSENET_CFG, DenseNetTrunk
+    from .mobilenetv2 import MobileNetV2Trunk
+    from .resnet_ibn import ResNetIBNTrunk
+    from .senet import SENET_SPECS, SENetTrunk
+    from .shufflenetv2 import SHUFFLENETV2_CFG, ShuffleNetV2Trunk
+    from .squeezenet import SqueezeNetTrunk
+
+    def add(name, trunk_partial, feature_dim, fc_dims=None):
+        def factory(num_classes, loss="softmax", pretrained=True,
+                    _t=trunk_partial, _n=name, _f=feature_dim,
+                    _fc=fc_dims, **kw):
+            return _wrap_trunk(_t, _n, num_classes, loss, _f, fc_dims=_fc, **kw)
+
+        __model_factory[name] = factory
+
+    for arch, (layers, groups, reduction, wpg) in SENET_SPECS.items():
+        add(arch, partial(SENetTrunk, layers=layers, groups=groups,
+                          reduction=reduction, width_per_group=wpg), 2048)
+    add("se_resnet50_fc512",
+        partial(SENetTrunk, layers=(3, 4, 6, 3), last_stride=1), 2048,
+        fc_dims=[512])
+
+    for arch, (gr, cfg, init_f) in DENSENET_CFG.items():
+        feat = init_f
+        for i, n in enumerate(cfg):
+            feat += n * gr
+            if i != len(cfg) - 1:
+                feat //= 2
+        add(arch, partial(DenseNetTrunk, growth_rate=gr, block_config=cfg,
+                          num_init_features=init_f), feat)
+    add("densenet121_fc512",
+        partial(DenseNetTrunk, growth_rate=32, block_config=(6, 12, 24, 16),
+                num_init_features=64), 1024, fc_dims=[512])
+
+    add("mobilenetv2_x1_0", partial(MobileNetV2Trunk, width_mult=1.0), 1280)
+    add("mobilenetv2_x1_4", partial(MobileNetV2Trunk, width_mult=1.4), 1792)
+
+    for arch, (reps, outs) in SHUFFLENETV2_CFG.items():
+        add(arch, partial(ShuffleNetV2Trunk, stages_repeats=reps,
+                          stages_out=outs), outs[-1])
+
+    add("squeezenet1_0", partial(SqueezeNetTrunk, version="1_0"), 512)
+    add("squeezenet1_0_fc512", partial(SqueezeNetTrunk, version="1_0"), 512,
+        fc_dims=[512])
+    add("squeezenet1_1", partial(SqueezeNetTrunk, version="1_1"), 512)
+
+    add("resnet50_ibn_a", partial(ResNetIBNTrunk, variant="a"), 2048)
+    add("resnet50_ibn_b", partial(ResNetIBNTrunk, variant="b"), 2048)
+
+
+_register_trunk_models()
+
+
+@register_model("pcb_p6")
+def pcb_p6(num_classes, loss="softmax", pretrained=True, parts=6,
+           backbone_layers=(3, 4, 6, 3), dtype=jnp.bfloat16, **kw):
+    from .pcb import PCB
+
+    module = PCB(num_classes=num_classes, loss=loss, parts=parts,
+                 backbone_layers=tuple(backbone_layers), dtype=dtype)
+    return ReIDModel(
+        module=module, name=f"pcb_p{parts}", num_classes=num_classes,
+        loss=loss, num_streams=1, feature_dim=parts * 2048,
+        meta={"trunks": {"trunk": "resnet50"} if pretrained else {}},
+    )
+
+
+@register_model("pcb_p4")
+def pcb_p4(num_classes, loss="softmax", pretrained=True, **kw):
+    return pcb_p6(num_classes, loss, pretrained, parts=4, **kw)
+
+
+@register_model("mlfn")
+def mlfn(num_classes, loss="softmax", pretrained=True, dtype=jnp.bfloat16,
+         **kw):
+    from .mlfn import MLFN
+
+    module = MLFN(num_classes=num_classes, loss=loss, dtype=dtype)
+    return ReIDModel(module=module, name="mlfn", num_classes=num_classes,
+                     loss=loss, num_streams=1, feature_dim=1024,
+                     meta={"trunks": {}})
+
+
+@register_model("hacnn")
+def hacnn(num_classes, loss="softmax", pretrained=True, learn_region=True,
+          dtype=jnp.bfloat16, **kw):
+    from .hacnn import HACNN
+
+    module = HACNN(num_classes=num_classes, loss=loss,
+                   learn_region=learn_region, dtype=dtype)
+    return ReIDModel(module=module, name="hacnn", num_classes=num_classes,
+                     loss=loss, num_streams=1,
+                     feature_dim=1024 if learn_region else 512,
+                     meta={"trunks": {}, "input_hw": (160, 64)})
+
+
+@register_model("mudeep")
+def mudeep(num_classes, loss="softmax", pretrained=True, dtype=jnp.bfloat16,
+           **kw):
+    from .mudeep import MuDeep
+
+    module = MuDeep(num_classes=num_classes, loss=loss, dtype=dtype)
+    return ReIDModel(module=module, name="mudeep", num_classes=num_classes,
+                     loss=loss, num_streams=1, feature_dim=4096,
+                     meta={"trunks": {}, "input_hw": (256, 128)})
+
+
+@register_model("resnet50mid")
+def resnet50mid(num_classes, loss="softmax", pretrained=True,
+                dtype=jnp.bfloat16, **kw):
+    from .resnetmid import ResNetMid
+
+    module = ResNetMid(num_classes=num_classes, loss=loss, fc_dims=(1024,),
+                       dtype=dtype)
+    return ReIDModel(module=module, name="resnet50mid",
+                     num_classes=num_classes, loss=loss, num_streams=1,
+                     feature_dim=1024 + 2048, meta={"trunks": {}})
+
+
 def _make_osnet(arch, num_classes, loss, pretrained, dtype=jnp.bfloat16, **kw):
     from .osnet import OSNET_WIDTHS, OSNet
 

@@ -129,6 +129,7 @@ class ResNetTrunk(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     last_stride: int = 2
+    num_stages: int = 4  # <4 truncates the trunk (e.g. resnetmid's 3-stage base)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -146,8 +147,8 @@ class ResNetTrunk(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         stages = []
-        planes = (64, 128, 256, 512)
-        strides = (1, 2, 2, self.last_stride)
+        planes = (64, 128, 256, 512)[: self.num_stages]
+        strides = (1, 2, 2, self.last_stride)[: self.num_stages]
         in_planes = 64
         for stage_idx, (p, n_blocks, s) in enumerate(
             zip(planes, self.layers, strides)

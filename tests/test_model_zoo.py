@@ -48,3 +48,42 @@ def test_osnet_triplet_output():
     y, feat = m.apply(v, _rand_inputs(m), train=True)[0]
     assert y.shape == (2, 5)
     assert feat.shape == (2, 512)
+
+
+ZOO_SMALL = [
+    # (name, feat_dim, input_hw)
+    ("se_resnet50", 2048, (64, 32)),
+    ("densenet121", 1024, (64, 32)),
+    ("mobilenetv2_x1_0", 1280, (64, 32)),
+    ("shufflenet_v2_x0_5", 1024, (64, 32)),
+    ("squeezenet1_0", 512, (64, 32)),
+    ("resnet50_ibn_a", 2048, (64, 32)),
+    ("resnet50_ibn_b", 2048, (64, 32)),
+    ("mlfn", 1024, (64, 32)),
+    ("mudeep", 4096, (256, 128)),
+    ("hacnn", 1024, (160, 64)),
+    ("resnet50mid", 3072, (64, 32)),
+]
+
+
+@pytest.mark.parametrize("name,feat_dim,hw", ZOO_SMALL)
+def test_zoo_model_shapes(name, feat_dim, hw):
+    m = build_model(name, num_classes=7, loss="softmax", pretrained=False)
+    v = m.init_variables(0, batch=2, height=hw[0], width=hw[1])
+    x = _rand_inputs(m, b=2, h=hw[0], w=hw[1])
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, feat_dim), f"{name}: {feat.shape}"
+    out, _ = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.shape[-1] == 7
+
+
+def test_pcb_shapes():
+    m = build_model("pcb_p6", num_classes=7, loss="softmax", pretrained=False,
+                    backbone_layers=(1, 1, 1, 1))
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    x = _rand_inputs(m)
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, 6 * 2048)
+    out, _ = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (2, 6, 7)
