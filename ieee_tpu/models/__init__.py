@@ -216,8 +216,51 @@ def _register_trunk_models():
     add("resnet50_ibn_a", partial(ResNetIBNTrunk, variant="a"), 2048)
     add("resnet50_ibn_b", partial(ResNetIBNTrunk, variant="b"), 2048)
 
+    from .inceptionresnetv2 import InceptionResNetV2Trunk
+    from .inceptionv4 import InceptionV4Trunk
+    from .shufflenet import ShuffleNetTrunk
+    from .xception import XceptionTrunk
+
+    add("xception", partial(XceptionTrunk), 2048)
+    add("inceptionv4", partial(InceptionV4Trunk), 1536)
+    add("inceptionresnetv2", partial(InceptionResNetV2Trunk), 1536)
+    add("shufflenet", partial(ShuffleNetTrunk, groups=3), 960)
+
 
 _register_trunk_models()
+
+
+def _register_osnet_variants():
+    from .osnet import OSNET_WIDTHS, OSNet
+
+    def add_osnet(name, widths, conv1_IN=False, in_pattern=None):
+        def factory(num_classes, loss="softmax", pretrained=True,
+                    dtype=jnp.bfloat16, _w=widths, _cin=conv1_IN,
+                    _pat=in_pattern, _n=name, **kw):
+            module = OSNet(
+                num_classes=num_classes, loss=loss, widths=_w,
+                conv1_IN=_cin,
+                in_pattern=_pat or ((False, False),) * 3, dtype=dtype,
+            )
+            return ReIDModel(module=module, name=_n,
+                             num_classes=num_classes, loss=loss,
+                             num_streams=1, feature_dim=512,
+                             meta={"arch": _n, "trunks": {}})
+
+        __model_factory[name] = factory
+
+    # osnet_ibn: IN stem (reference osnet.py osnet_ibn_x1_0 factory)
+    add_osnet("osnet_ibn_x1_0", OSNET_WIDTHS["osnet_x1_0"], conv1_IN=True)
+    # osnet_ain: IN stem + mixed OSBlockINin pattern
+    # (reference osnet_ain.py:536-560: stage1=[INin,INin],
+    #  stage2=[plain,INin], stage3=[INin,plain])
+    ain_pattern = ((True, True), (False, True), (True, False))
+    for suffix in ("x1_0", "x0_75", "x0_5", "x0_25"):
+        add_osnet(f"osnet_ain_{suffix}", OSNET_WIDTHS[f"osnet_{suffix}"],
+                  conv1_IN=True, in_pattern=ain_pattern)
+
+
+_register_osnet_variants()
 
 
 @register_model("pcb_p6")

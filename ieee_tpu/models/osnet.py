@@ -98,10 +98,13 @@ class ChannelGate(nn.Module):
 
 class OSBlock(nn.Module):
     """Omni-scale residual block: 4 streams of 1..4 stacked Lite-3x3 convs,
-    gated sum, 1x1 expand, residual."""
+    gated sum, 1x1 expand, residual. ``in_norm=True`` applies instance
+    normalization to the expanded features inside the residual — the
+    OSBlockINin variant of OSNet-AIN (reference ``osnet_ain.py:271-299``)."""
 
     features: int
     bottleneck_reduction: int = 4
+    in_norm: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -122,6 +125,10 @@ class OSBlock(nn.Module):
 
         x3 = _ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
                          name="conv3")(x2, train)
+        if self.in_norm:
+            x3 = nn.GroupNorm(num_groups=x3.shape[-1], epsilon=1e-5,
+                              dtype=jnp.float32, param_dtype=jnp.float32,
+                              name="IN")(x3).astype(self.dtype)
         if identity.shape[-1] != self.features:
             identity = _ConvBNReLU(self.features, 1, relu=False,
                                    dtype=self.dtype, name="downsample")(
@@ -135,6 +142,9 @@ class OSNet(nn.Module):
     widths: Sequence[int] = (64, 256, 384, 512)
     blocks_per_stage: Sequence[int] = (2, 2, 2)
     feature_dim: int = 512
+    conv1_IN: bool = False  # osnet_ibn / osnet_ain stem instance norm
+    # per-stage tuple of per-block in_norm flags (OSNet-AIN mixed pattern)
+    in_pattern: Sequence[Sequence[bool]] = ((False, False),) * 3
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -142,13 +152,24 @@ class OSNet(nn.Module):
         w = list(self.widths)
         x = x.astype(self.dtype)
         # stem: 7x7/2 conv + 3x3/2 maxpool
-        x = _ConvBNReLU(w[0], 7, strides=2, dtype=self.dtype, name="conv1")(
-            x, train)
+        if self.conv1_IN:
+            x = nn.Conv(w[0], (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="conv1_conv")(x)
+            x = nn.GroupNorm(num_groups=w[0], epsilon=1e-5,
+                             dtype=jnp.float32, param_dtype=jnp.float32,
+                             name="conv1_in")(x)
+            x = nn.relu(x.astype(self.dtype))
+        else:
+            x = _ConvBNReLU(w[0], 7, strides=2, dtype=self.dtype,
+                            name="conv1")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         for stage in range(3):
             for b in range(self.blocks_per_stage[stage]):
-                x = OSBlock(w[stage + 1], dtype=self.dtype,
+                in_norm = bool(self.in_pattern[stage][b])
+                x = OSBlock(w[stage + 1], in_norm=in_norm, dtype=self.dtype,
                             name=f"conv{stage + 2}_{b}")(x, train)
             if stage < 2:  # transition: 1x1 conv + 2x2 avgpool
                 x = _ConvBNReLU(w[stage + 1], 1, dtype=self.dtype,

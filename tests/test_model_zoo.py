@@ -87,3 +87,22 @@ def test_pcb_shapes():
     assert feat.shape == (2, 6 * 2048)
     out, _ = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert out.shape == (2, 6, 7)
+
+
+ZOO_LARGE = [
+    ("xception", 2048, (64, 32)),
+    ("shufflenet", 960, (64, 32)),
+    ("inceptionv4", 1536, (160, 64)),
+    ("inceptionresnetv2", 1536, (160, 64)),
+    ("osnet_ain_x0_25", 512, (64, 32)),
+    ("osnet_ibn_x1_0", 512, (64, 32)),
+]
+
+
+@pytest.mark.parametrize("name,feat_dim,hw", ZOO_LARGE)
+def test_zoo_large_model_shapes(name, feat_dim, hw):
+    m = build_model(name, num_classes=5, loss="softmax", pretrained=False)
+    v = m.init_variables(0, batch=2, height=hw[0], width=hw[1])
+    x = _rand_inputs(m, b=2, h=hw[0], w=hw[1])
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, feat_dim), f"{name}: {feat.shape}"
