@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from ieee_tpu.ops.gnn_rerank import gnn_reranking
+from ieee_tpu.ops.rerank import re_ranking
+
+
+def _clustered_features(num_pids=8, per_pid=6, dim=32, noise=0.15, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((num_pids, dim))
+    feats, pids = [], []
+    for p in range(num_pids):
+        f = centers[p] + noise * rng.standard_normal((per_pid, dim))
+        feats.append(f)
+        pids.extend([p] * per_pid)
+    feats = np.concatenate(feats).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    return feats, np.asarray(pids)
+
+
+def test_k_reciprocal_rerank_improves_clustered_retrieval():
+    feats, pids = _clustered_features()
+    q, g = feats[::3], feats[np.arange(len(feats)) % 3 != 0]
+    q_pids, g_pids = pids[::3], pids[np.arange(len(pids)) % 3 != 0]
+
+    def sqdist(a, b):
+        return ((a[:, None] - b[None]) ** 2).sum(-1)
+
+    d_qg = sqdist(q, g)
+    final = re_ranking(d_qg, sqdist(q, q), sqdist(g, g), k1=8, k2=3)
+    assert final.shape == d_qg.shape
+    # top-1 accuracy should stay perfect on well-separated clusters
+    top1 = g_pids[np.argmin(final, axis=1)]
+    assert (top1 == q_pids).mean() >= 0.9
+
+
+def test_gnn_rerank_returns_valid_ranking():
+    feats, pids = _clustered_features(num_pids=6, per_pid=5)
+    mask = np.arange(len(feats)) % 3 == 0
+    q, g = feats[mask], feats[~mask]
+    q_pids, g_pids = pids[mask], pids[~mask]
+    L = gnn_reranking(q, g, k1=8, k2=3)
+    assert L.shape == (len(q), len(g))
+    # each row is a permutation of gallery indices
+    assert (np.sort(L, axis=1) == np.arange(len(g))).all()
+    top1 = g_pids[L[:, 0]]
+    assert (top1 == q_pids).mean() >= 0.8
+
+
+def test_rerank_lambda_blend_endpoints():
+    feats, _ = _clustered_features(num_pids=4, per_pid=4)
+    q, g = feats[:4], feats[4:]
+
+    def sqdist(a, b):
+        return ((a[:, None] - b[None]) ** 2).sum(-1)
+
+    # lambda=1 -> pure (column-normalized) original distance ordering
+    final = re_ranking(sqdist(q, g), sqdist(q, q), sqdist(g, g),
+                       k1=6, k2=2, lambda_value=1.0)
+    orig_order = np.argsort(sqdist(q, g), axis=1)
+    new_order = np.argsort(final, axis=1)
+    assert (orig_order[:, 0] == new_order[:, 0]).mean() >= 0.75
