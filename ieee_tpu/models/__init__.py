@@ -263,6 +263,21 @@ def _register_osnet_variants():
 _register_osnet_variants()
 
 
+@register_model("nasnetamobile")
+def nasnetamobile(num_classes, loss="softmax", pretrained=True,
+                  dtype=jnp.bfloat16, **kw):
+    from .nasnet import NASNetAMobile
+
+    module = NASNetAMobile(num_classes=num_classes, loss=loss, dtype=dtype)
+    return ReIDModel(module=module, name="nasnetamobile",
+                     num_classes=num_classes, loss=loss, num_streams=1,
+                     feature_dim=1056, meta={"trunks": {}})
+
+
+# reference registry typo kept as an alias (``models/__init__.py:56``)
+__model_factory["nasnsetmobile"] = __model_factory["nasnetamobile"]
+
+
 @register_model("pcb_p6")
 def pcb_p6(num_classes, loss="softmax", pretrained=True, parts=6,
            backbone_layers=(3, 4, 6, 3), dtype=jnp.bfloat16, **kw):

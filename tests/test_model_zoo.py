@@ -106,3 +106,12 @@ def test_zoo_large_model_shapes(name, feat_dim, hw):
     x = _rand_inputs(m, b=2, h=hw[0], w=hw[1])
     feat = m.apply(v, x, train=False)
     assert feat.shape == (2, feat_dim), f"{name}: {feat.shape}"
+
+
+def test_nasnet_shapes():
+    m = build_model("nasnetamobile", num_classes=5, loss="softmax",
+                    pretrained=False)
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    x = _rand_inputs(m, b=2, h=64, w=32)
+    feat = m.apply(v, x, train=False)
+    assert feat.shape == (2, 1056)
