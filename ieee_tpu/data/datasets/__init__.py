@@ -17,7 +17,7 @@ from .image.msmt17 import MSMT17
 from .image.prid import PRID
 from .image.rgbnt201 import RGBNT201
 from .image.sensereid import SenseReID
-from .image.synthetic import Synthetic, SyntheticMM
+from .image.synthetic import Synthetic, SyntheticMM, SyntheticVideo
 from .image.uav import UAV
 from .image.university1652 import University1652
 from .image.viper import VIPeR
@@ -49,6 +49,7 @@ __image_datasets = {
 }
 
 __video_datasets = {
+    "synthetic_video": SyntheticVideo,
     "mars": Mars,
     "ilidsvid": iLIDSVID,
     "prid2011": PRID2011,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..base import ImageDataset, MultiModalImageDataset
+from ..base import ImageDataset, MultiModalImageDataset, VideoDataset
 
 
 def _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal, pid_offset=0):
@@ -55,6 +55,33 @@ class Synthetic(_SyntheticMixin, ImageDataset):
         train = _make_split(rng, num_pids, imgs_per_pid, num_cams, 1)
         query = _make_split(rng, num_pids // 2, 2, num_cams, 1)
         gallery = _make_split(rng, num_pids // 2, 4, num_cams, 1)
+        kwargs.setdefault("verbose", False)
+        super().__init__(train, query, gallery, **kwargs)
+
+
+class SyntheticVideo(_SyntheticMixin, VideoDataset):
+    """Synthetic tracklet dataset for the video engines."""
+
+    def __init__(self, root="", num_pids=8, tracklets_per_pid=3,
+                 frames_per_tracklet=6, num_cams=2, seed=0, **kwargs):
+        rng = np.random.default_rng(seed)
+
+        def make(num, offset=0):
+            data = []
+            for pid in range(num):
+                for t in range(tracklets_per_pid):
+                    camid = int(rng.integers(0, num_cams))
+                    key = int(rng.integers(0, 2**31))
+                    frames = tuple(
+                        f"synthetic://v/{pid + offset}/{t}/{key}/{f}"
+                        for f in range(frames_per_tracklet)
+                    )
+                    data.append((frames, pid + offset, camid))
+            return data
+
+        train = make(num_pids)
+        query = make(num_pids // 2)
+        gallery = make(num_pids // 2)
         kwargs.setdefault("verbose", False)
         super().__init__(train, query, gallery, **kwargs)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -20,6 +21,56 @@ ModuleDef = Any
 conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # torch nn.init.normal_(weight, 0, 0.01) for Linear layers in reID heads
 dense_init = nn.initializers.normal(stddev=0.01)
+
+
+class FastBatchNorm(nn.Module):
+    """BatchNorm with f32 statistics but compute-dtype normalization.
+
+    HBM-bandwidth optimization for the conv trunks: flax's BatchNorm with
+    ``dtype=float32`` materializes f32 activation tensors on both sides of
+    every conv; here the reductions (mean/var) run in f32 — numerically
+    safe — while the elementwise normalize stays in bf16, halving activation
+    traffic on the hot path. Param/stat names match ``nn.BatchNorm``
+    (scale/bias, mean/var) so converters and checkpoints are interchangeable.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        use_ra = (self.use_running_average
+                  if use_running_average is None else use_running_average)
+        c = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        return (x.astype(self.dtype) * inv.astype(self.dtype)
+                + shift.astype(self.dtype))
 
 
 class ConvBN(nn.Module):
@@ -49,15 +100,14 @@ class ConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = FastBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bn",
         )(x)
-        x = x.astype(self.dtype)
         if self.nonlinear == "relu":
             x = nn.relu(x)
         elif self.nonlinear == "leakyrelu":

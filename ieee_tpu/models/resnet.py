@@ -95,11 +95,13 @@ class Bottleneck(nn.Module):
             param_dtype=jnp.float32,
             name="conv2",
         )(out)
-        out = nn.BatchNorm(
+        from .common import FastBatchNorm
+
+        out = FastBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="bn2",
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn2",
         )(out)
-        out = nn.relu(out.astype(self.dtype))
+        out = nn.relu(out)
         out = ConvBN(
             self.planes * self.expansion, (1, 1), nonlinear=None,
             dtype=self.dtype, name="cb3",
