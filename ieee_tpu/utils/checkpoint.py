@@ -108,17 +108,13 @@ def load_pretrained_weights(variables: Any, weight_path: str) -> Any:
     """Partial-load model weights from a checkpoint file into a variables
     pytree (reference ``load_pretrained_weights``, ``torchtools.py:256-311``):
     matching-named entries load; mismatched/missing are kept and reported."""
+    import flax.core
     import numpy as np
 
     with open(weight_path, "rb") as f:
         blob = f.read()
+    # accepts either a full TrainState dump or a bare {params, batch_stats}
     loaded = flax.serialization.msgpack_restore(blob)
-    # accept either a full TrainState dump or a bare {params, batch_stats}
-    for key in ("params", "batch_stats"):
-        if key in loaded and isinstance(loaded[key], dict):
-            continue
-    import flax.core
-
     var = flax.core.unfreeze(variables)
     matched, discarded = [], []
 

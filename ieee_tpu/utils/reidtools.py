@@ -84,6 +84,9 @@ def visualize_ranked_results(distmat, dataset, data_type="image", width=128,
                 break
         grid = np.concatenate(strip[:-1], axis=1)
         qname = osp.basename(qpath if isinstance(qpath, str) else qpath[0])
+        qname = qname.replace("/", "_").replace(":", "_")
+        if not qname.lower().endswith((".jpg", ".jpeg", ".png")):
+            qname += ".jpg"
         Image.fromarray(grid).save(osp.join(save_dir, qname))
     print(f'Done. Images have been saved to "{save_dir}" ...')
 
