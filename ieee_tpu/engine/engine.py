@@ -405,8 +405,9 @@ class Engine:
         if visrank:
             from ..utils.reidtools import visualize_ranked_results
 
+            td = self.datamanager.test_dataset[dataset_name]
             visualize_ranked_results(
-                distmat, self.datamanager.fetch_test_loaders(dataset_name),
+                distmat, (td["query"], td["gallery"]),
                 self.datamanager.data_type, width=self.datamanager.width,
                 height=self.datamanager.height,
                 save_dir=osp.join(save_dir, "visrank_" + dataset_name),

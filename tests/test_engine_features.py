@@ -1,0 +1,68 @@
+"""Engine feature tests: fixbase/open_layers, test_only, staged engine
+behaviors."""
+
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from ieee_tpu.data import ImageDataManager
+from ieee_tpu.engine import ImageSoftmaxEngine
+from ieee_tpu.models import build_model
+from ieee_tpu.optim import build_optimizer
+
+
+def _engine(tmp_seed=0):
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="sgd", lr=0.5, momentum=0.0, weight_decay=0.0)
+    return ImageSoftmaxEngine(dm, model, optimizer=tx,
+                              scheduler=lambda e: 0.5, seed=tmp_seed)
+
+
+def test_fixbase_freezes_non_open_layers():
+    eng = _engine()
+    eng.max_epoch = 1
+    eng.epoch = 0
+    before = jax.tree_util.tree_map(np.asarray, eng.state.params)
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1, open_layers=["classifier"])
+    after = eng.state.params
+    # classifier must move
+    assert not np.allclose(np.asarray(after["classifier"]["kernel"]),
+                           before["classifier"]["kernel"])
+    # trunk must be frozen
+    np.testing.assert_array_equal(
+        np.asarray(after["trunk"]["stem"]["conv"]["kernel"]),
+        before["trunk"]["stem"]["conv"]["kernel"],
+    )
+
+
+def test_open_layers_respected_only_during_fixbase():
+    eng = _engine()
+    eng.max_epoch = 2
+    eng.epoch = 1  # past fixbase_epoch=1 -> everything trains
+    before = np.asarray(eng.state.params["trunk"]["stem"]["conv"]["kernel"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1, open_layers=["classifier"])
+    after = np.asarray(eng.state.params["trunk"]["stem"]["conv"]["kernel"])
+    assert not np.allclose(after, before)
+
+
+def test_run_test_only(tmp_path):
+    eng = _engine()
+    with contextlib.redirect_stdout(io.StringIO()) as buf:
+        rank1 = eng.run(save_dir=str(tmp_path), max_epoch=5, test_only=True,
+                        ranks=(1,))
+    assert np.isfinite(rank1)
+    # no training happened: no checkpoints written
+    import os
+    assert not os.path.exists(tmp_path / "model")
