@@ -95,8 +95,16 @@ class Engine:
 
         self._train_step_fn: Optional[Callable] = None
         self._eval_step_fn: Optional[Callable] = None
-        self._metrics_log = []
+        self._metrics_path: Optional[str] = None
         self._host_step = 0
+
+    def _log_metrics(self, record: dict) -> None:
+        if not self._metrics_path:
+            return
+        import json
+
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # ------------------------------------------------------------------
     # subclass interface
@@ -196,6 +204,12 @@ class Engine:
         rerank: bool = False,
         resume: str = "",
     ) -> float:
+        # observability: JSONL metrics stream (the reference's TensorBoard
+        # writer was dead code, engine.py:192-193; this one works)
+        if save_dir:
+            mkdir_if_missing(save_dir)
+            self._metrics_path = osp.join(save_dir, "metrics.jsonl")
+
         if resume:
             self.state, start_epoch = resume_from_checkpoint(resume, self.state)
 
@@ -293,6 +307,15 @@ class Engine:
                     )
                 )
             end = time.time()
+
+        self._log_metrics({
+            "kind": "train_epoch",
+            "epoch": self.epoch + 1,
+            "lr": lr,
+            "batch_time_avg": batch_time.avg,
+            "data_time_avg": data_time.avg,
+            **{k: m.avg for k, m in losses.meters.items()},
+        })
 
     def _put_batch(self, data, in_shard):
         imgs = data["img"]
@@ -401,6 +424,13 @@ class Engine:
         print("CMC curve")
         for r in ranks:
             print(f"Rank-{r:<3}: {cmc[r - 1]:.1%}")
+        self._log_metrics({
+            "kind": "eval",
+            "epoch": self.epoch + 1,
+            "dataset": dataset_name,
+            "mAP": float(mAP),
+            **{f"rank{r}": float(cmc[r - 1]) for r in ranks},
+        })
 
         if visrank:
             from ..utils.reidtools import visualize_ranked_results
