@@ -1,0 +1,61 @@
+"""Tests for the tools/ scripts (parse_test_res, compute_mean_std CLI glue,
+gnn rerank CLI contract)."""
+
+import os.path as osp
+import pickle
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_parse_test_res(tmp_path):
+    (tmp_path / "split0").mkdir()
+    (tmp_path / "split1").mkdir()
+    (tmp_path / "split0" / "test.log").write_text(
+        "** Results **\nmAP: 46.4%\nCMC curve\nRank-1  : 47.1%\n"
+        "Rank-5  : 58.5%\nRank-10 : 64.2%\n"
+    )
+    (tmp_path / "split1" / "test.log").write_text(
+        "** Results **\nmAP: 44.4%\nCMC curve\nRank-1  : 45.1%\n"
+        "Rank-5  : 56.5%\nRank-10 : 62.2%\n"
+    )
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", "parse_test_res.py"),
+         str(tmp_path)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "mAP: 45.4%" in out
+    assert "r1: 46.1%" in out
+
+
+def test_gnn_rerank_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((6, 16))
+    feats, pids = [], []
+    for p in range(6):
+        feats.append(centers[p] + 0.1 * rng.standard_normal((5, 16)))
+        pids.extend([p] * 5)
+    feats = np.concatenate(feats).astype(np.float32)
+    pids = np.asarray(pids)
+    cams = np.arange(len(pids)) % 3
+    mask = np.arange(len(feats)) % 3 == 0
+    data = {
+        "query_f": feats[mask], "gallery_f": feats[~mask],
+        "query_pid": pids[mask], "gallery_pid": pids[~mask],
+        "query_cam": cams[mask], "gallery_cam": cams[~mask],
+    }
+    pkl = tmp_path / "features.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(data, f)
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", "gnn_rerank_cli.py"),
+         "--data", str(pkl), "--k1", "8", "--k2", "3"],
+        capture_output=True, text=True, check=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    ).stdout
+    m = re.search(r"mAP: ([\d.]+)%", out)
+    assert m and float(m.group(1)) > 50.0
