@@ -33,7 +33,17 @@ AVAI_TRANSFORMS = [
     "color_jitter",
     "random_erase",
     "random_patch",  # accepted, approximated (see _random_patch)
+    "color_aug",  # PCA lighting (reference ColorAugmentation, unused by
+    #               build_transforms in the reference; exposed here)
 ]
+
+# ImageNet PCA lighting basis (reference ``transforms.py:109-141``)
+_EIG_VEC = (
+    (0.4009, 0.7192, -0.5675),
+    (-0.8140, -0.0045, -0.5808),
+    (0.4203, -0.6948, -0.5836),
+)
+_EIG_VAL = (0.2175, 0.0188, 0.0045)
 
 
 def _normalize(x, mean, std):
@@ -107,6 +117,16 @@ def _random_erase(key, x, sl=0.02, sh=0.4, r1=0.3,
     return jnp.where(inside[..., None], fill, x)
 
 
+def _color_aug(key, x, sigma=0.1):
+    """PCA lighting noise on [0,1] images (AlexNet-style)."""
+    b = x.shape[0]
+    alpha = sigma * jax.random.normal(key, (b, 3))
+    vec = jnp.asarray(_EIG_VEC, x.dtype)  # (3 rgb, 3 components)
+    val = jnp.asarray(_EIG_VAL, x.dtype)
+    delta = (alpha * val) @ vec.T  # (B, 3) rgb offsets
+    return jnp.clip(x + delta[:, None, None, :], 0.0, 1.0)
+
+
 def _random_patch(key, x, p=0.5):
     """Approximation of the reference's cross-image RandomPatch
     (``transforms.py:144-230``): paste a random crop taken from another image
@@ -176,6 +196,8 @@ def build_transforms(
             x = _random_patch(keys[2], x)
         if "color_jitter" in transforms:
             x = _color_jitter(keys[3], x)
+        if "color_aug" in transforms:
+            x = _color_aug(jax.random.fold_in(keys[3], 1), x)
         x = _normalize(x, mean, std)
         if "random_erase" in transforms:
             # reference order: Normalize THEN RandomErasing(mean=norm_mean)
