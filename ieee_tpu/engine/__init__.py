@@ -15,4 +15,48 @@ __all__ = [
     "Image3MEngine",
     "ImageTripletEngine",
     "ImageHCEngine",
+    "build_engine",
 ]
+
+
+def build_engine(cfg, datamanager, model, optimizer, scheduler,
+                 variables=None):
+    """Engine dispatch by ``cfg.loss.name`` (reference
+    ``scripts/mainMultiModal.py:45-130``). The reference's ``CMT`` branch
+    referenced a missing ImageCMTEngine; it maps to the HC engine here
+    (identical model-output contract)."""
+    common = dict(optimizer=optimizer, scheduler=scheduler,
+                  use_gpu=cfg.use_gpu, variables=variables,
+                  seed=cfg.train.seed)
+    name = cfg.loss.name
+    is_video = getattr(datamanager, "data_type", "image") == "video"
+    if name == "softmax":
+        if is_video:
+            return VideoSoftmaxEngine(
+                datamanager, model,
+                label_smooth=cfg.loss.softmax.label_smooth,
+                pooling_method=cfg.video.pooling_method, **common)
+        if datamanager.num_streams > 1:
+            return MultiModalImageSoftmaxEngine(
+                datamanager, model,
+                label_smooth=cfg.loss.softmax.label_smooth, **common)
+        return ImageSoftmaxEngine(
+            datamanager, model, label_smooth=cfg.loss.softmax.label_smooth,
+            **common)
+    if name == "triplet":
+        cls = VideoTripletEngine if is_video else ImageTripletEngine
+        return cls(
+            datamanager, model, margin=cfg.loss.triplet_margin,
+            weight_t=cfg.loss.weight_t, weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    if name == "margin":
+        return Image3MEngine(
+            datamanager, model, margin=cfg.loss.ieee_margin,
+            weight_m=cfg.loss.weight_m, weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    if name in ("hcloss", "CMT"):
+        return ImageHCEngine(
+            datamanager, model, weight_m=cfg.loss.weight_m,
+            weight_x=cfg.loss.weight_x,
+            label_smooth=cfg.loss.softmax.label_smooth, **common)
+    raise ValueError(f"Unsupported loss: {name}")

@@ -26,53 +26,13 @@ from ieee_tpu.config import (
     imagedata_kwargs,
     lr_scheduler_kwargs,
     optimizer_kwargs,
+    videodata_kwargs,
 )
-from ieee_tpu.data import ImageDataManager
-from ieee_tpu.engine import (
-    Image3MEngine,
-    ImageHCEngine,
-    ImageSoftmaxEngine,
-    ImageTripletEngine,
-    MultiModalImageSoftmaxEngine,
-)
+from ieee_tpu.data import ImageDataManager, VideoDataManager
+from ieee_tpu.engine import build_engine
 from ieee_tpu.models import apply_pretrained, build_model
 from ieee_tpu.optim import build_lr_scheduler, build_optimizer
 from ieee_tpu.utils import Logger, collect_env_info, set_random_seed
-
-
-def build_engine(cfg, datamanager, model, optimizer, scheduler, variables):
-    """Engine dispatch (reference ``mainMultiModal.py:45-130``). The
-    reference's ``CMT`` branch referenced a missing ImageCMTEngine (SURVEY
-    known-quirk list); it maps to the HC engine here (identical model output
-    contract)."""
-    common = dict(optimizer=optimizer, scheduler=scheduler,
-                  use_gpu=cfg.use_gpu, variables=variables,
-                  seed=cfg.train.seed)
-    name = cfg.loss.name
-    if name == "softmax":
-        if datamanager.num_streams > 1:
-            return MultiModalImageSoftmaxEngine(
-                datamanager, model, label_smooth=cfg.loss.softmax.label_smooth,
-                **common)
-        return ImageSoftmaxEngine(
-            datamanager, model, label_smooth=cfg.loss.softmax.label_smooth,
-            **common)
-    if name == "triplet":
-        return ImageTripletEngine(
-            datamanager, model, margin=cfg.loss.triplet_margin,
-            weight_t=cfg.loss.weight_t, weight_x=cfg.loss.weight_x,
-            label_smooth=cfg.loss.softmax.label_smooth, **common)
-    if name == "margin":
-        return Image3MEngine(
-            datamanager, model, margin=cfg.loss.ieee_margin,
-            weight_m=cfg.loss.weight_m, weight_x=cfg.loss.weight_x,
-            label_smooth=cfg.loss.softmax.label_smooth, **common)
-    if name in ("hcloss", "CMT"):
-        return ImageHCEngine(
-            datamanager, model, weight_m=cfg.loss.weight_m,
-            weight_x=cfg.loss.weight_x,
-            label_smooth=cfg.loss.softmax.label_smooth, **common)
-    raise ValueError(f"Unsupported loss: {name}")
 
 
 def main():
@@ -105,7 +65,12 @@ def main():
     print(f"Show configuration\n{cfg.dump()}")
     print(f"Collecting env info ...\n** System info **\n{collect_env_info()}\n")
 
-    datamanager = ImageDataManager(seed=cfg.train.seed, **imagedata_kwargs(cfg))
+    if cfg.data.type == "video":
+        datamanager = VideoDataManager(seed=cfg.train.seed,
+                                       **videodata_kwargs(cfg))
+    else:
+        datamanager = ImageDataManager(seed=cfg.train.seed,
+                                       **imagedata_kwargs(cfg))
 
     print(f"Building model: {cfg.model.name}")
     model = build_model(
