@@ -19,6 +19,11 @@ def get_default_config() -> ConfigNode:
     cfg.model.pretrained = True  # load pretrained backbone weights if available
     cfg.model.load_weights = ""  # path to model weights
     cfg.model.resume = ""  # path to checkpoint for resume training
+    # IEEE ablation flags (reference attributes interaction/attention/using_REM,
+    # ``ieee3modalPart.py:312-314``; README documents them as the ablation API)
+    cfg.model.interaction = True
+    cfg.model.attention = True
+    cfg.model.using_REM = True
 
     # data
     cfg.data = ConfigNode()

@@ -73,11 +73,17 @@ def main():
                                        **imagedata_kwargs(cfg))
 
     print(f"Building model: {cfg.model.name}")
+    extra = {}
+    if cfg.model.name == "ieee3modalPart":
+        extra = dict(interaction=cfg.model.interaction,
+                     attention=cfg.model.attention,
+                     using_REM=cfg.model.using_REM)
     model = build_model(
         name=cfg.model.name,
         num_classes=datamanager.num_train_pids,
         loss=cfg.loss.name,
         pretrained=cfg.model.pretrained,
+        **extra,
     )
     variables = model.init_variables(
         jax.random.PRNGKey(cfg.train.seed), batch=2,

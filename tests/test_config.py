@@ -62,3 +62,23 @@ def test_kwargs_adapters():
     assert lk["lr_scheduler"] == "single_step"
     ek = engine_run_kwargs(cfg)
     assert ek["eval_freq"] == -1
+
+
+def test_all_shipped_configs_load():
+    import glob
+
+    for path in glob.glob(osp.join(REPO, "configs", "*.yaml")):
+        cfg = get_default_config()
+        cfg.merge_from_file(path)
+        assert cfg.model.name
+
+
+def test_ieee_ablation_flags_in_config():
+    cfg = get_default_config()
+    cfg.merge_from_file(osp.join(REPO, "configs", "rgbnt_base_softmax.yaml"))
+    assert cfg.model.interaction is False
+    assert cfg.model.using_REM is False
+    cfg2 = get_default_config()
+    cfg2.merge_from_file(osp.join(REPO, "configs", "rgbnt_cim_softmax.yaml"))
+    assert cfg2.model.interaction is True
+    assert cfg2.model.using_REM is False
