@@ -443,6 +443,22 @@ class Engine:
                 save_dir=osp.join(save_dir, "visrank_" + dataset_name),
                 topk=visrank_topk,
             )
+            if self.datamanager.num_streams > 1 and qf.shape[1] % 3 == 0:
+                # multi-modal: per-modality t-SNE scatter (the reference's
+                # visrank replacement, engine.py:437-439/463-490; the T,R,N
+                # block slicing is fixed here — SURVEY quirk list)
+                try:
+                    from ..utils.reidtools import show_point_multi_modal
+
+                    d = qf.shape[1] // 3
+                    show_point_multi_modal(
+                        qf, q_pids,
+                        save_path=osp.join(save_dir,
+                                           f"tsne_{dataset_name}.png"),
+                        modal_dims=(d, d, d),
+                    )
+                except ImportError as e:  # sklearn optional
+                    print(f"t-SNE skipped ({e})")
         return cmc[0], mAP
 
     # ------------------------------------------------------------------

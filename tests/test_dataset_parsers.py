@@ -78,3 +78,51 @@ def test_market1501_parser(market_root):
     assert 0 in ds._junk_pids
     # camid 0-based
     assert ds.query[0][2] == 0
+
+
+@pytest.fixture
+def allday_root(tmp_path):
+    base = tmp_path / "AllDay"
+    # name: <pid:6>_cam<camid>_<timeid>_x.jpg
+    names = ["000001_cam1_1_0.jpg", "000002_cam2_2_0.jpg"]
+    for modal in ("RGB", "NI", "TI"):
+        for n in names:
+            _write_jpg(str(base / "train" / modal / n))
+    for modal in ("RGB", "NI_change_ID_final", "TI_change_ID_final"):
+        for n in names:
+            _write_jpg(str(base / "test" / modal / n))
+    return str(tmp_path)
+
+
+def test_allday_parser(allday_root):
+    ds = init_image_dataset("AllDay", root=allday_root, mode="train",
+                            verbose=False, height=32, width=16)
+    assert ds.num_train_pids == 2
+    # timeid carried in the 4th tuple slot
+    timeids = sorted({item[3] for item in ds.train})
+    assert timeids == [1, 2]
+    # test NI/TI resolve into the *_change_ID_final dirs
+    q = ds.query[0][0]
+    assert "NI_change_ID_final" in q[1]
+
+
+@pytest.fixture
+def uav_root(tmp_path):
+    base = tmp_path / "UAVdata"
+    names = ["p001a.jpg", "p002b.jpg", "p001c.jpg"]
+    for split in ("train", "query", "gallery"):
+        for modal in ("RGB", "Gray"):
+            for n in names:
+                _write_jpg(str(base / split / modal / n))
+    return str(tmp_path)
+
+
+def test_uav_parser(uav_root):
+    ds = init_image_dataset("UAVdata", root=uav_root, mode="train",
+                            verbose=False, height=32, width=16)
+    assert ds.num_train_pids == 2  # p001 (x2), p002
+    item = ds[0]
+    assert len(item["img"]) == 2  # RGB + Gray
+    # camid is a running index
+    cams = [it[2] for it in ds.train]
+    assert cams == sorted(cams)

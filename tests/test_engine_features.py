@@ -66,3 +66,12 @@ def test_run_test_only(tmp_path):
     # no training happened: no checkpoints written
     import os
     assert not os.path.exists(tmp_path / "model")
+
+
+def test_eval_with_rerank(tmp_path):
+    eng = _engine()
+    with contextlib.redirect_stdout(io.StringIO()) as buf:
+        rank1 = eng.run(save_dir=str(tmp_path), max_epoch=1, test_only=True,
+                        ranks=(1,), rerank=True)
+    assert np.isfinite(rank1)
+    assert "re-ranking" in buf.getvalue()
