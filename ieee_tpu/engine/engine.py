@@ -367,6 +367,7 @@ class Engine:
         feats, pids, camids = [], [], []
         t0 = time.time()
         batch_size = loader.batch_size
+        in_shard = batch_sharding(self.mesh)
         for data in loader:
             imgs = data["img"]
             multi = isinstance(imgs, (tuple, list))
@@ -379,6 +380,11 @@ class Engine:
                     )
                 else:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            # shard the eval batch over the data mesh axis (multi-chip eval)
+            if multi:
+                imgs = tuple(jax.device_put(m, in_shard) for m in imgs)
+            else:
+                imgs = jax.device_put(imgs, in_shard)
             f = self._eval_step_fn(self.state.params, self.state.batch_stats,
                                    imgs)
             feats.append(np.asarray(f[:n], np.float32))
