@@ -92,9 +92,26 @@ def main():
     if cfg.model.pretrained:
         variables = apply_pretrained(model, variables)
     if cfg.model.load_weights:
-        from ieee_tpu.utils import load_pretrained_weights
+        lw = cfg.model.load_weights
+        if cfg.model.name == "ieee3modalPart" and lw.endswith(
+            (".pth", ".pth.tar")
+        ) or ".pth.tar-" in lw:
+            # reference-format torch checkpoint -> full conversion
+            import torch
 
-        variables = load_pretrained_weights(variables, cfg.model.load_weights)
+            from ieee_tpu.models.ieee_converter import (
+                convert_ieee_torch_checkpoint,
+            )
+
+            ckpt = torch.load(lw, map_location="cpu", weights_only=False)
+            sd = ckpt.get("state_dict", ckpt)
+            p, s = convert_ieee_torch_checkpoint(sd)
+            variables = {"params": p, "batch_stats": s}
+            print(f'Converted reference torch checkpoint "{lw}"')
+        else:
+            from ieee_tpu.utils import load_pretrained_weights
+
+            variables = load_pretrained_weights(variables, lw)
 
     optimizer = build_optimizer(params=variables["params"],
                                 **optimizer_kwargs(cfg))
