@@ -226,6 +226,7 @@ class Engine:
         print("=> Start training")
 
         rank1 = 0.0
+        best_rank1 = -1.0
         for self.epoch in range(start_epoch, max_epoch):
             self.train(print_freq=print_freq, fixbase_epoch=fixbase_epoch,
                        open_layers=open_layers)
@@ -245,7 +246,9 @@ class Engine:
                     use_metric_cuhk03=use_metric_cuhk03, ranks=ranks,
                     rerank=rerank,
                 )
-                self.save_model(self.epoch, rank1, save_dir)
+                is_best = rank1 > best_rank1
+                best_rank1 = max(best_rank1, rank1)
+                self.save_model(self.epoch, rank1, save_dir, is_best=is_best)
 
         elapsed = round(time.time() - time_start)
         import datetime
