@@ -369,13 +369,16 @@ class Engine:
             self._eval_step_fn = self._build_eval_step()
         feats, pids, camids = [], [], []
         t0 = time.time()
-        batch_size = loader.batch_size
+        # pad every batch to a mesh-divisible fixed size: avoids tail-batch
+        # recompiles AND keeps axis 0 shardable over the data axis
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        batch_size = -(-loader.batch_size // n_dev) * n_dev
         in_shard = batch_sharding(self.mesh)
         for data in loader:
             imgs = data["img"]
             multi = isinstance(imgs, (tuple, list))
             n = (imgs[0] if multi else imgs).shape[0]
-            if n < batch_size:  # pad the tail batch to avoid a recompile
+            if n < batch_size:
                 pad = batch_size - n
                 if multi:
                     imgs = tuple(
