@@ -30,6 +30,7 @@ class DataManager:
         norm_std=None,
         use_gpu=False,
         verbose=True,
+        k_tfm=1,
     ):
         self.sources = [sources] if isinstance(sources, str) else sources
         if self.sources is None:
@@ -40,7 +41,7 @@ class DataManager:
         self.height = height
         self.width = width
         self.transform_tr, self.transform_te = build_transforms(
-            height, width, transforms=transforms,
+            height, width, transforms=transforms, k_tfm=k_tfm,
             norm_mean=norm_mean, norm_std=norm_std, verbose=verbose,
         )
         self.use_gpu = use_gpu  # kept for API parity
@@ -103,7 +104,7 @@ class ImageDataManager(DataManager):
         super().__init__(
             sources=sources, targets=targets, height=height, width=width,
             transforms=transforms, norm_mean=norm_mean, norm_std=norm_std,
-            use_gpu=use_gpu, verbose=verbose,
+            use_gpu=use_gpu, verbose=verbose, k_tfm=k_tfm,
         )
         self.batch_size_train = batch_size_train
         self.num_instances = num_instances

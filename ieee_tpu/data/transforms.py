@@ -168,8 +168,8 @@ def build_transforms(
     for t in transforms:
         if t not in AVAI_TRANSFORMS:
             raise ValueError(f"unknown transform {t}; choose from {AVAI_TRANSFORMS}")
-    if k_tfm != 1:
-        raise NotImplementedError("k_tfm > 1 not supported yet")
+    if k_tfm < 1:
+        raise ValueError(f"k_tfm must be >= 1, got {k_tfm}")
 
     if norm_mean is None or norm_std is None:
         norm_mean = (0.485, 0.456, 0.406)
@@ -184,8 +184,7 @@ def build_transforms(
             print(f"+ {t} (device)")
         print("+ to float [0,1] + normalization (device)")
 
-    @jax.jit
-    def train_fn(key, batch):
+    def _train_one(key, batch):
         x = batch.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, 5)
         if "random_flip" in transforms:
@@ -205,6 +204,16 @@ def build_transforms(
             # written into the already-normalized tensor verbatim
             x = _random_erase(keys[4], x, mean=mean)
         return x
+
+    if k_tfm == 1:
+        train_fn = jax.jit(_train_one)
+    else:
+        # k_tfm: k independent augmentation draws per image
+        # (reference ``dataset.py:304-317``); returns (K, B, H, W, 3)
+        @jax.jit
+        def train_fn(key, batch):
+            ks = jax.random.split(key, k_tfm)
+            return jax.vmap(_train_one, in_axes=(0, None))(ks, batch)
 
     @jax.jit
     def test_fn(batch):

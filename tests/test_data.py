@@ -154,3 +154,15 @@ def test_all_registered_datasets_importable():
     for name in ["mars", "ilidsvid", "prid2011", "dukemtmcvidreid"]:
         with pytest.raises((RuntimeError, FileNotFoundError)):
             init_video_dataset(name, root="/nonexistent-data-root")
+
+
+def test_k_tfm_multiple_augmentations():
+    train_fn, _ = build_transforms(32, 16, transforms=["random_flip"],
+                                   k_tfm=3, verbose=False)
+    batch = np.random.default_rng(0).integers(0, 256, (2, 32, 16, 3),
+                                              dtype=np.uint8)
+    out = np.asarray(train_fn(jax.random.PRNGKey(0), batch))
+    assert out.shape == (3, 2, 32, 16, 3)
+    # draws differ across k
+    assert not np.array_equal(out[0], out[1]) or not np.array_equal(
+        out[1], out[2])
