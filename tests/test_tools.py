@@ -59,3 +59,30 @@ def test_gnn_rerank_cli(tmp_path):
     ).stdout
     m = re.search(r"mAP: ([\d.]+)%", out)
     assert m and float(m.group(1)) > 50.0
+
+
+def test_visactmap_on_synthetic(tmp_path):
+    """Exercise the activation-map visualization core on synthetic data."""
+    import sys
+
+    sys.path.insert(0, osp.join(REPO, "tools"))
+    import jax
+
+    from ieee_tpu.data import ImageDataManager
+    from ieee_tpu.models import build_model
+    from visualize_actmap import visactmap
+
+    dm = ImageDataManager(
+        sources="synthetic", height=64, width=32, batch_size_train=4,
+        batch_size_test=4, workers=0, num_pids=4, imgs_per_pid=2,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=4, loss="softmax",
+                        pretrained=False)
+    v = model.init_variables(0, batch=2, height=64, width=32)
+    visactmap(model, v, dm.test_loader, str(tmp_path), width=32, height=64,
+              modal="RGB", max_batches=1)
+    import os
+
+    out_dir = tmp_path / "actmap_synthetic"
+    assert out_dir.exists() and len(os.listdir(out_dir)) > 0
