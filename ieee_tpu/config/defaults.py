@@ -129,10 +129,19 @@ def get_default_config() -> ConfigNode:
     cfg.tpu.mesh_shape = []  # e.g. [8] -> 1-D data mesh; [] = all local devices
     cfg.tpu.mesh_axes = ["data"]
     cfg.tpu.compute_dtype = "bfloat16"  # matmul/conv dtype on the MXU
-    cfg.tpu.param_dtype = "float32"
-    cfg.tpu.sync_batchnorm = False  # cross-replica BN stats (divergence knob)
-    cfg.tpu.prefetch = 2  # device prefetch depth
+    # (params are always float32 masters — invariant, not a knob)
+    # True (default): BN batch stats over the GLOBAL batch (pjit-natural).
+    # False: per-replica stats via shard_map — nn.DataParallel-faithful
+    # (SURVEY §2.8 divergence knob; engine.Engine._forward_train)
+    cfg.tpu.sync_batchnorm = True
+    cfg.tpu.prefetch = 2  # host loader prefetch depth (data/loader.py queue)
     cfg.tpu.donate = True  # donate train-state buffers to the jitted step
+    # Fused Pallas matmul+BN path for 1x1 convs (models/common.py
+    # FusedConvBN1x1). None = auto: on for single-device TPU and for
+    # per-replica-BN multi-device runs (shard_map partitions the kernels);
+    # off for multi-device global-batch BN, where a Pallas stats epilogue
+    # would compute per-shard statistics under pjit.
+    cfg.tpu.fused_1x1 = None
 
     return cfg
 
@@ -159,6 +168,7 @@ def imagedata_kwargs(cfg: ConfigNode) -> dict:
         num_datasets=cfg.sampler.num_datasets,
         train_sampler=cfg.sampler.train_sampler,
         train_sampler_t=cfg.sampler.train_sampler_t,
+        prefetch=cfg.tpu.prefetch,
         cuhk03_labeled=cfg.cuhk03.labeled_images,
         cuhk03_classic_split=cfg.cuhk03.classic_split,
         market1501_500k=cfg.market1501.use_500k_distractors,
@@ -184,6 +194,7 @@ def videodata_kwargs(cfg: ConfigNode) -> dict:
         num_cams=cfg.sampler.num_cams,
         num_datasets=cfg.sampler.num_datasets,
         train_sampler=cfg.sampler.train_sampler,
+        prefetch=cfg.tpu.prefetch,
         seq_len=cfg.video.seq_len,
         sample_method=cfg.video.sample_method,
     )

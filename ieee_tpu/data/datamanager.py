@@ -40,10 +40,15 @@ class DataManager:
             self.targets = self.sources
         self.height = height
         self.width = width
+        self.k_tfm = int(k_tfm)
         self.transform_tr, self.transform_te = build_transforms(
             height, width, transforms=transforms, k_tfm=k_tfm,
             norm_mean=norm_mean, norm_std=norm_std, verbose=verbose,
         )
+        # host-side per-image train transform (RandomPatch pool), or None
+        from .transforms import build_host_transform
+
+        self.host_transform_tr = build_host_transform(transforms)
         self.use_gpu = use_gpu  # kept for API parity
 
     @property
@@ -136,6 +141,7 @@ class ImageDataManager(DataManager):
             drop_last=True,
             workers=workers,
             prefetch=prefetch,
+            host_transform=self.host_transform_tr,
         )
 
         # optional unlabeled target train loader (reference :231-270)
@@ -163,6 +169,7 @@ class ImageDataManager(DataManager):
                 drop_last=True,
                 workers=workers,
                 prefetch=prefetch,
+                host_transform=self.host_transform_tr,
             )
 
         if verbose:
@@ -227,6 +234,7 @@ class VideoDataManager(DataManager):
         sample_method="evenly",
         seed=None,
         verbose=True,
+        prefetch=2,
         **dataset_kwargs,
     ):
         super().__init__(
@@ -259,6 +267,8 @@ class VideoDataManager(DataManager):
             batch_size=batch_size_train,
             drop_last=True,
             workers=workers,
+            prefetch=prefetch,
+            host_transform=self.host_transform_tr,
         )
 
         self.test_loader = {}

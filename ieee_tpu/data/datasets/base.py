@@ -121,16 +121,23 @@ class Dataset:
             if isinstance(self, MultiModalImageDataset)
             else VideoDataset
         )
+        extra = {}
+        if isinstance(self, VideoDataset):
+            # forward tracklet sampling config (reference dataset.py:147-148);
+            # dropping it would silently reset seq_len/sample_method
+            extra = dict(seq_len=self.seq_len, sample_method=self.sample_method)
         return cls(
             train,
             self.query,
             self.gallery,
             transform=self.transform,
+            k_tfm=self.k_tfm,
             mode=self.mode,
             combineall=False,
             verbose=False,
             height=self.height,
             width=self.width,
+            **extra,
         )
 
     def __radd__(self, other):

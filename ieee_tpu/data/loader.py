@@ -46,6 +46,7 @@ class DataLoader:
         drop_last: bool = False,
         workers: int = 0,
         prefetch: int = 2,
+        host_transform=None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -53,6 +54,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.workers = workers
         self.prefetch = max(prefetch, 1)
+        # host-side per-image transform (only RandomPatch lives here — its
+        # persistent cross-batch patch pool is host state; transforms.py)
+        self.host_transform = host_transform
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
         buf: List[int] = []
@@ -70,8 +74,20 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _apply_host(self, img):
+        if img.ndim == 4:  # video tracklet (T, H, W, 3): per frame
+            return np.stack([self.host_transform(f) for f in img])
+        return self.host_transform(img)
+
     def _load_batch(self, indices: List[int]) -> Dict[str, Any]:
-        return _collate([self.dataset[i] for i in indices])
+        items = [self.dataset[i] for i in indices]
+        if self.host_transform is not None:
+            for it in items:
+                if isinstance(it["img"], list):
+                    it["img"] = [self._apply_host(m) for m in it["img"]]
+                else:
+                    it["img"] = self._apply_host(it["img"])
+        return _collate(items)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.workers <= 0:
@@ -83,23 +99,39 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned iteration
+            # (break/exception mid-epoch) so the thread never blocks forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for indices in self._batches_of_indices():
-                    q.put(self._load_batch(indices))
+                    if stop.is_set() or not _put(self._load_batch(indices)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
         if err:
             raise err[0]

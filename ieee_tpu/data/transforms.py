@@ -32,7 +32,7 @@ AVAI_TRANSFORMS = [
     "random_crop",
     "color_jitter",
     "random_erase",
-    "random_patch",  # accepted, approximated (see _random_patch)
+    "random_patch",  # host-side persistent-pool paste (see RandomPatchPool)
     "color_aug",  # PCA lighting (reference ColorAugmentation, unused by
     #               build_transforms in the reference; exposed here)
 ]
@@ -73,21 +73,69 @@ def _random_crop(key, x, height, width):
     return jnp.where(do[:, None, None, None], cropped, x)
 
 
-def _color_jitter(key, x, brightness=0.2, contrast=0.15):
-    """torchvision-style brightness/contrast jitter on [0,1] images."""
+def _rgb_to_gray(x):
+    return 0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+
+
+def _color_jitter(key, x, brightness=0.2, contrast=0.15, saturation=0.0,
+                  hue=0.0):
+    """torchvision-style ColorJitter on [0,1] images (the reference uses
+    brightness=0.2, contrast=0.15, saturation=0, hue=0 —
+    ``transforms.py:299-302``). Divergence: ops apply in the fixed order
+    brightness -> contrast -> saturation -> hue rather than torchvision's
+    per-image random order (documented; a no-op for the reference config)."""
     b = x.shape[0]
-    k1, k2 = jax.random.split(key)
-    bf = jax.random.uniform(k1, (b, 1, 1, 1), minval=1 - brightness,
-                            maxval=1 + brightness)
-    x = jnp.clip(x * bf, 0.0, 1.0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    if brightness > 0:
+        bf = jax.random.uniform(k1, (b, 1, 1, 1), minval=1 - brightness,
+                                maxval=1 + brightness)
+        x = jnp.clip(x * bf, 0.0, 1.0)
     if contrast > 0:
         cf = jax.random.uniform(k2, (b, 1, 1, 1), minval=1 - contrast,
                                 maxval=1 + contrast)
-        gray = (
-            0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
-        ).mean(axis=(1, 2), keepdims=True)
+        gray = _rgb_to_gray(x).mean(axis=(1, 2), keepdims=True)
         x = jnp.clip((x - gray) * cf + gray, 0.0, 1.0)
+    if saturation > 0:
+        sf = jax.random.uniform(k3, (b, 1, 1, 1), minval=1 - saturation,
+                                maxval=1 + saturation)
+        gray = _rgb_to_gray(x)
+        x = jnp.clip(gray + (x - gray) * sf, 0.0, 1.0)
+    if hue > 0:
+        hf = jax.random.uniform(k4, (b, 1, 1, 1), minval=-hue, maxval=hue)
+        x = _hue_shift(x, hf)
     return x
+
+
+def _hue_shift(x, shift):
+    """Shift hue by ``shift`` (fraction of the full circle, torchvision
+    semantics) via RGB->HSV->RGB, batched and branch-free."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, ((g - b) / safe) % 6.0,
+        jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0),
+    ) / 6.0
+    h = jnp.where(d > 0, h, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    v = mx
+
+    h = (h + shift[..., 0]) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1)
 
 
 def _random_erase(key, x, sl=0.02, sh=0.4, r1=0.3,
@@ -127,19 +175,113 @@ def _color_aug(key, x, sigma=0.1):
     return jnp.clip(x + delta[:, None, None, :], 0.0, 1.0)
 
 
-def _random_patch(key, x, p=0.5):
-    """Approximation of the reference's cross-image RandomPatch
-    (``transforms.py:144-230``): paste a random crop taken from another image
-    in the batch (batch-rolled source instead of a persistent patch pool)."""
-    b, h, w, c = x.shape
-    k1, k2 = jax.random.split(key)
-    donor = jnp.roll(x, 1, axis=0)
-    patched = _random_erase(k1, x, sl=0.01, sh=0.5, r1=0.1, mean=(0, 0, 0), p=1.0)
-    # where _random_erase zeroed, substitute donor pixels
-    mask = (patched == 0) & (x != 0)
-    mixed = jnp.where(mask, donor, x)
-    do = jax.random.bernoulli(k2, p, (b,))
-    return jnp.where(do[:, None, None, None], mixed, x)
+class RandomPatchPool:
+    """Exact-semantics RandomPatch (reference ``transforms.py:144-230``):
+    a persistent cross-batch patch pool feeding random occlusion pastes.
+
+    This one transform is host-side by design: the reference's pool is a
+    host deque of variable-size crops whose lifetime spans batches — state
+    a compiled device transform cannot carry without fixed-size ring
+    tensors. Per image it is two small array copies; the loader applies it
+    per decoded item (``data/loader.py``), everything else stays in the
+    compiled device pipeline.
+
+    Matches the reference step-for-step: min-area/aspect rejection sampling
+    (100 attempts), pool capacity 50k / min fill 100, paste probability 0.5,
+    patch flip-left-right and ±10° rotation each with probability 0.5.
+    """
+
+    def __init__(
+        self,
+        prob_happen=0.5,
+        pool_capacity=50000,
+        min_sample_size=100,
+        patch_min_area=0.01,
+        patch_max_area=0.5,
+        patch_min_ratio=0.1,
+        prob_rotate=0.5,
+        prob_flip_leftright=0.5,
+        seed=None,
+    ):
+        from collections import deque
+
+        self.prob_happen = prob_happen
+        self.patch_min_area = patch_min_area
+        self.patch_max_area = patch_max_area
+        self.patch_min_ratio = patch_min_ratio
+        self.prob_rotate = prob_rotate
+        self.prob_flip_leftright = prob_flip_leftright
+        self.min_sample_size = min_sample_size
+        self.pool = deque(maxlen=pool_capacity)
+        import numpy as np
+
+        self.rng = np.random.default_rng(seed)
+
+    def _sample_wh(self, W, H):
+        import math
+
+        area = W * H
+        for _ in range(100):
+            target = self.rng.uniform(self.patch_min_area,
+                                      self.patch_max_area) * area
+            ratio = self.rng.uniform(self.patch_min_ratio,
+                                     1.0 / self.patch_min_ratio)
+            h = int(round(math.sqrt(target * ratio)))
+            w = int(round(math.sqrt(target / ratio)))
+            if w < W and h < H:
+                return w, h
+        return None, None
+
+    def _transform_patch(self, patch):
+        import numpy as np
+
+        if self.rng.uniform() > self.prob_flip_leftright:
+            patch = patch[:, ::-1]
+        if self.rng.uniform() > self.prob_rotate:
+            from PIL import Image
+
+            deg = int(self.rng.integers(-10, 11))
+            patch = np.asarray(Image.fromarray(patch).rotate(deg))
+        return patch
+
+    def __call__(self, img):
+        """img: (H, W, 3) uint8 -> same, possibly with a pool patch pasted."""
+        import numpy as np
+
+        H, W = img.shape[:2]
+        w, h = self._sample_wh(W, H)
+        if w is not None and h is not None:
+            x1 = int(self.rng.integers(0, W - w + 1))
+            y1 = int(self.rng.integers(0, H - h + 1))
+            self.pool.append(np.array(img[y1:y1 + h, x1:x1 + w]))
+
+        if len(self.pool) < self.min_sample_size:
+            return img
+        if self.rng.uniform() > self.prob_happen:
+            return img
+
+        patch = self.pool[int(self.rng.integers(0, len(self.pool)))]
+        ph, pw = patch.shape[:2]
+        if ph >= H or pw >= W:  # pool may hold crops from larger images
+            return img
+        x1 = int(self.rng.integers(0, W - pw + 1))
+        y1 = int(self.rng.integers(0, H - ph + 1))
+        patch = self._transform_patch(patch)
+        out = np.array(img)
+        out[y1:y1 + ph, x1:x1 + pw] = patch
+        return out
+
+
+def build_host_transform(transforms, seed=None):
+    """Host-side per-item train transform, or None. Only RandomPatch lives
+    here (persistent cross-batch pool); see ``RandomPatchPool``."""
+    if transforms is None:
+        return None
+    if isinstance(transforms, str):
+        transforms = [transforms]
+    if any(t.lower() == "random_patch" for t in transforms):
+        return RandomPatchPool(seed=seed)
+    return None
 
 
 def build_transforms(
@@ -150,6 +292,10 @@ def build_transforms(
     norm_std: Sequence[float] = (0.229, 0.224, 0.225),
     k_tfm: int = 1,
     verbose: bool = True,
+    cj_brightness: float = 0.2,
+    cj_contrast: float = 0.15,
+    cj_saturation: float = 0.0,
+    cj_hue: float = 0.0,
     **kwargs,
 ) -> Tuple[Callable, Callable]:
     """Returns (train_fn, test_fn):
@@ -191,10 +337,11 @@ def build_transforms(
             x = _random_flip(keys[0], x)
         if "random_crop" in transforms:
             x = _random_crop(keys[1], x, height, width)
-        if "random_patch" in transforms:
-            x = _random_patch(keys[2], x)
+        # (random_patch is host-side: its persistent cross-batch patch pool
+        # is applied per decoded item in the loader — see RandomPatchPool)
         if "color_jitter" in transforms:
-            x = _color_jitter(keys[3], x)
+            x = _color_jitter(keys[3], x, cj_brightness, cj_contrast,
+                              cj_saturation, cj_hue)
         if "color_aug" in transforms:
             x = _color_aug(jax.random.fold_in(keys[3], 1), x)
         x = _normalize(x, mean, std)

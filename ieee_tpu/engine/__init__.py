@@ -25,9 +25,19 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
     ``scripts/mainMultiModal.py:45-130``). The reference's ``CMT`` branch
     referenced a missing ImageCMTEngine; it maps to the HC engine here
     (identical model-output contract)."""
+    tpu = getattr(cfg, "tpu", None)
     common = dict(optimizer=optimizer, scheduler=scheduler,
                   use_gpu=cfg.use_gpu, variables=variables,
                   seed=cfg.train.seed)
+    if tpu is not None:
+        from ..parallel import make_mesh
+
+        common.update(
+            mesh=make_mesh(list(tpu.mesh_shape) or None,
+                           tuple(tpu.mesh_axes)),
+            donate=bool(tpu.donate),
+            sync_batchnorm=bool(tpu.sync_batchnorm),
+        )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"
     if name == "softmax":

@@ -60,7 +60,8 @@ class Engine:
 
     def __init__(self, datamanager, model, optimizer=None, scheduler=None,
                  use_gpu: bool = True, mesh=None, seed: int = 1,
-                 variables=None, donate: bool = True):
+                 variables=None, donate: bool = True,
+                 sync_batchnorm: bool = True):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -68,6 +69,10 @@ class Engine:
         self.use_gpu = use_gpu  # API parity; devices come from the mesh
         self.mesh = mesh if mesh is not None else make_mesh()
         self.donate = donate
+        # True (default): BN batch stats reduce over the GLOBAL batch (pjit
+        # semantics). False: per-replica stats via shard_map — faithful to
+        # the reference's nn.DataParallel (SURVEY §2.8 decision, cfg.tpu knob)
+        self.sync_batchnorm = sync_batchnorm
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -125,20 +130,70 @@ class Engine:
             )
         return tfm(key, imgs)
 
+    @staticmethod
+    def _fold_k_tfm(x):
+        """(K, B, H, W, C) k_tfm draws -> (B*K, H, W, C) with each image's K
+        draws adjacent, preserving the sampler's contiguous-per-pid layout
+        (reference ``dataset.py:304-317`` returns K transformed copies)."""
+        if x.ndim == 5:
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape((-1,) + x.shape[2:])
+        return x
+
+    def _forward_train(self, params, batch_stats, imgs):
+        """Training forward returning (out, new_batch_stats).
+
+        sync_batchnorm=True: plain apply — BN stats reduce over the global
+        (all-shards) batch. False: the forward runs under shard_map so each
+        data-shard computes its own BN stats (DataParallel-faithful); the
+        returned running stats are the cross-replica mean. Differentiable —
+        grads flow through shard_map and are summed by its transpose."""
+        def fwd(p, s, im):
+            out, updates = self.model.module.apply(
+                {"params": p, "batch_stats": s}, im, train=True,
+                mutable=["batch_stats"],
+            )
+            return out, updates["batch_stats"]
+
+        n_data = self.mesh.shape.get("data", 1)
+        if self.sync_batchnorm or n_data == 1:
+            return fwd(params, batch_stats, imgs)
+
+        from jax.sharding import PartitionSpec as P
+
+        def fwd_shard(p, s, im):
+            out, new_stats = fwd(p, s, im)
+            new_stats = jax.lax.pmean(new_stats, "data")
+            return out, new_stats
+
+        return jax.shard_map(
+            fwd_shard, mesh=self.mesh,
+            in_specs=(P(), P(), P("data")),
+            out_specs=(P("data"), P()),
+            check_vma=False,
+        )(params, batch_stats, imgs)
+
     def _build_train_step(self):
         model = self.model
         tx = self.optimizer
 
         def loss_fn(params, batch_stats, imgs, pids):
-            out, updates = model.module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                imgs, train=True, mutable=["batch_stats"],
-            )
+            out, new_stats = self._forward_train(params, batch_stats, imgs)
             loss, metrics = self.compute_loss(out, pids)
-            return loss, (metrics, updates["batch_stats"])
+            return loss, (metrics, new_stats)
+
+        k_tfm = getattr(self.datamanager, "k_tfm", 1)
 
         def step(state: TrainState, imgs, pids, key, lr, mask):
             imgs = self._transform_train(key, imgs)
+            if k_tfm > 1:
+                # fold the K augmentation draws into the batch axis; pids
+                # repeat K-adjacent so the (P, K*k_tfm) loss contract holds
+                if isinstance(imgs, tuple):
+                    imgs = tuple(self._fold_k_tfm(m) for m in imgs)
+                else:
+                    imgs = self._fold_k_tfm(imgs)
+                pids = jnp.repeat(pids, k_tfm)
             (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, imgs, pids)
@@ -168,6 +223,14 @@ class Engine:
     def _build_eval_step(self):
         model = self.model
         tfm = self.datamanager.transform_te
+
+        # full-IEEE models use the fused inference path: folded-BN heads +
+        # the Pallas part-pool/project kernel (models/fast_eval.py); ablation
+        # variants and every other model take the plain flax apply
+        from ..models.fast_eval import build_fast_ieee_eval_step, supports_fast_eval
+
+        if supports_fast_eval(model.module):
+            return build_fast_ieee_eval_step(model, transform=tfm)
 
         def step(params, batch_stats, imgs):
             if isinstance(imgs, (tuple, list)):

@@ -21,7 +21,9 @@ class ImageHCEngine(Engine):
         self.weight_m = weight_m
         self.weight_x = weight_x
         self.num_classes = datamanager.num_train_pids
-        self.num_instances = getattr(datamanager, "num_instances", 4)
+        # per-pid group size; k_tfm draws are folded K-adjacent into batch
+        self.num_instances = (getattr(datamanager, "num_instances", 4)
+                              * getattr(datamanager, "k_tfm", 1))
 
     def compute_loss(self, out, pids):
         loss = 0.0

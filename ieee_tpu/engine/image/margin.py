@@ -24,8 +24,11 @@ class Image3MEngine(Engine):
         self.weight_m = weight_m
         self.weight_x = weight_x
         self.num_classes = datamanager.num_train_pids
-        # (P, K) contract from the RandomIdentitySampler
-        self.num_instances = getattr(datamanager, "num_instances", 4)
+        # (P, K) contract from the RandomIdentitySampler; with k_tfm > 1 the
+        # train step folds K adjacent draws per image into the batch, so the
+        # per-pid group grows to num_instances * k_tfm
+        self.num_instances = (getattr(datamanager, "num_instances", 4)
+                              * getattr(datamanager, "k_tfm", 1))
 
     def compute_loss(self, out, pids):
         loss = 0.0

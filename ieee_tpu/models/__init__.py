@@ -34,20 +34,39 @@ def show_avai_models():
     return sorted(__model_factory.keys())
 
 
+_COMPUTE_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
 def build_model(
     name: str,
     num_classes: int,
     loss: str = "softmax",
     pretrained: bool = True,
     use_gpu: bool = True,
+    dtype=None,
     **kwargs,
 ) -> ReIDModel:
     """Build a model from the registry (reference ``models/__init__.py:80-111``).
-    ``use_gpu`` kept for signature parity; device placement is jit's concern."""
+    ``use_gpu`` kept for signature parity; device placement is jit's concern.
+    ``dtype`` (str or jnp dtype) overrides the MXU compute dtype
+    (``cfg.tpu.compute_dtype``); params stay float32 masters regardless."""
     del use_gpu
     avai = sorted(__model_factory.keys())
     if name not in __model_factory:
         raise KeyError(f"Unknown model: {name}. Must be one of {avai}")
+    if dtype is not None:
+        if isinstance(dtype, str):
+            if dtype not in _COMPUTE_DTYPES:
+                raise ValueError(
+                    f"unknown compute dtype {dtype!r}; choose from "
+                    f"{sorted(_COMPUTE_DTYPES)}"
+                )
+            dtype = _COMPUTE_DTYPES[dtype]
+        kwargs["dtype"] = dtype
     return __model_factory[name](
         num_classes=num_classes, loss=loss, pretrained=pretrained, **kwargs
     )

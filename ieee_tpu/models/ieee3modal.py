@@ -164,25 +164,35 @@ class IEEE3modalPart(nn.Module):
     using_REM: bool = True
     backbone_layers: Sequence[int] = (3, 4, 6, 3)  # ResNet-50 by default
     dtype: Any = jnp.bfloat16
+    fused_1x1: bool | None = None  # None = auto: Pallas matmul+BN on TPU
 
     def setup(self):
+        from .common import FusedConvBN1x1
+        from .resnet import fuse_worthwhile, resolve_fused_1x1
+
+        fused = resolve_fused_1x1(self.fused_1x1)
+
+        def conv_bn_1x1(features, name, k_in=2048):
+            if fused and fuse_worthwhile(k_in, features):
+                return FusedConvBN1x1(features, nonlinear="relu",
+                                      dtype=self.dtype, name=name)
+            return ConvBN(features, (1, 1), nonlinear="relu",
+                          dtype=self.dtype, name=name)
+
         self.backbones = [
             ResNetTrunk(
                 block="bottleneck", layers=tuple(self.backbone_layers),
-                last_stride=1, dtype=self.dtype, name=f"backbone_{m}",
+                last_stride=1, dtype=self.dtype, fused_1x1=fused,
+                name=f"backbone_{m}",
             )
             for m in "RNT"
         ]
         if self.interaction:
             self.convOne = [
-                ConvBN(2048, (1, 1), nonlinear="relu", dtype=self.dtype,
-                       name=f"convOne_{i}")
-                for i in range(3)
+                conv_bn_1x1(2048, f"convOne_{i}") for i in range(3)
             ]
             self.convAvgRest = [
-                ConvBN(2048, (1, 1), nonlinear="relu", dtype=self.dtype,
-                       name=f"convAvgRest_{i}")
-                for i in range(3)
+                conv_bn_1x1(2048, f"convAvgRest_{i}") for i in range(3)
             ]
             if self.attention:
                 self.CA = [
@@ -190,9 +200,7 @@ class IEEE3modalPart(nn.Module):
                     for i in range(3)
                 ]
         self.reduce = [
-            ConvBN(self.pooling_dim, (1, 1), nonlinear="relu", dtype=self.dtype,
-                   name=f"reduce_{i}")
-            for i in range(3)
+            conv_bn_1x1(self.pooling_dim, f"reduce_{i}") for i in range(3)
         ]
         if self.using_REM:
             self.REM = [
@@ -231,21 +239,22 @@ class IEEE3modalPart(nn.Module):
         else:
             pooled = maps
 
-        # global (1,1) and part (P,1) pooling, then shared 2048->768 reduce.
-        # The reference applies the SAME reduce_layer to both pooled maps
-        # (``ieee3modalPart.py:449-455``) — BN sees both in one train step.
-        # We match by concatenating [global; parts] along the part axis
-        # through one ConvBN call, so BN batch statistics cover both, then
-        # splitting. (BN stats differ from the reference's two sequential
-        # calls only in the running-average bookkeeping, not the batch stats.)
+        # global (1,1) and part (P,1) pooling, then the SAME shared 2048->768
+        # reduce applied twice sequentially, exactly as the reference
+        # (``ieee3modalPart.py:449-455``): in train mode the global call
+        # normalizes with B-item batch stats, the part call with B*P-item
+        # stats, and the running averages take both updates in that order
+        # (flax accumulates sequential mutable updates like torch does).
+        # Verified against the reference's own class in
+        # tests/test_reference_model_parity.py.
         feats_g, feats_p = [], []
         for i in range(3):
             g = adaptive_avg_pool(maps[i], 1, 1)  # (B,1,1,2048)
             p = adaptive_avg_pool(pooled[i], self.parts, 1)  # (B,P,1,2048)
-            both = jnp.concatenate([g, p], axis=1)  # (B,1+P,1,2048)
-            red = self.reduce[i](both, train)  # (B,1+P,1,768)
-            feats_g.append(red[:, 0, 0, :])  # (B,768)
-            feats_p.append(red[:, 1:, 0, :])  # (B,P,768)
+            red_g = self.reduce[i](g, train)  # (B,1,1,768)
+            red_p = self.reduce[i](p, train)  # (B,P,1,768)
+            feats_g.append(red_g[:, 0, 0, :])  # (B,768)
+            feats_p.append(red_p[:, :, 0, :])  # (B,P,768)
 
         if self.using_REM:
             feats_p = [

@@ -16,7 +16,38 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvBN, DenseBNReLU, conv_kaiming_init, dense_init, global_avg_pool
+from .common import (
+    ConvBN,
+    DenseBNReLU,
+    FusedConvBN1x1,
+    conv_kaiming_init,
+    dense_init,
+    global_avg_pool,
+)
+
+
+def resolve_fused_1x1(flag):
+    """None = auto: use the fused Pallas matmul+BN path on TPU, the plain
+    XLA path elsewhere (CPU tests run Pallas in interpret mode only where
+    explicitly requested)."""
+    if flag is None:
+        # measured round 2 (v5e, batch 128 IEEE step): XLA baseline 135.9
+        # ms/step vs 219 (all sites fused), 152 (selective), 149 (selective +
+        # XLA elementwise). The custom-vjp boundary blocks XLA fusion across
+        # the op and the kernels pay layout copies at the 4D<->2D seams, so
+        # the stats-epilogue win never materializes end-to-end on this
+        # XLA/libtpu build. Default OFF; opt in via cfg.tpu.fused_1x1=True.
+        return False
+    return bool(flag)
+
+
+def fuse_worthwhile(k_in: int, c_out: int, min_dim: int = 384) -> bool:
+    """Per-site gate for the fused Pallas matmul+BN path. Measured on the
+    v5e (round 2): the fused kernels beat XLA conv+BN when both channel dims
+    are MXU-sized (CIM 2048x2048 runs at ~111 TF/s incl. backward; the
+    layer-1/2 tall-skinny shapes, N~10^5 x C<=512, are faster as XLA convs).
+    """
+    return min(k_in, c_out) >= min_dim
 
 __all__ = [
     "ResNetTrunk",
@@ -73,16 +104,28 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Any = jnp.bfloat16
+    fused_1x1: bool = False  # Pallas matmul+BN path for cb1/cb3/downsample
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        k_in = x.shape[-1]
+        c_out = self.planes * self.expansion
+        base_ok = self.fused_1x1 and self.groups == 1
+        fuse_cb1 = base_ok and fuse_worthwhile(k_in, width)
+        # cb3 and downsample must agree: the fused cb3 consumes the identity
+        # as its residual operand
+        fused = base_ok and fuse_worthwhile(width, c_out) \
+            and (not self.downsample or fuse_worthwhile(k_in, c_out))
         identity = x
-        out = ConvBN(width, (1, 1), nonlinear="relu", dtype=self.dtype, name="cb1")(
-            x, train
-        )
+        if fuse_cb1:
+            out = FusedConvBN1x1(width, nonlinear="relu", dtype=self.dtype,
+                                 name="cb1")(x, train)
+        else:
+            out = ConvBN(width, (1, 1), nonlinear="relu", dtype=self.dtype,
+                         name="cb1")(x, train)
         out = nn.Conv(
             width,
             kernel_size=(3, 3),
@@ -102,6 +145,20 @@ class Bottleneck(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32, name="bn2",
         )(out)
         out = nn.relu(out)
+        if fused:
+            if self.downsample:
+                # 1x1 stride-s conv == subsample rows/cols then stride-1 1x1
+                xs = x[:, ::self.strides, ::self.strides, :] \
+                    if self.strides != 1 else x
+                identity = FusedConvBN1x1(
+                    self.planes * self.expansion, dtype=self.dtype,
+                    name="downsample",
+                )(xs, train)
+            # cb3 + residual fused; relu applied here (see FusedConvBN1x1)
+            out = FusedConvBN1x1(
+                self.planes * self.expansion, dtype=self.dtype, name="cb3",
+            )(out, train, residual=identity)
+            return nn.relu(out)
         out = ConvBN(
             self.planes * self.expansion, (1, 1), nonlinear=None,
             dtype=self.dtype, name="cb3",
@@ -133,6 +190,7 @@ class ResNetTrunk(nn.Module):
     last_stride: int = 2
     num_stages: int = 4  # <4 truncates the trunk (e.g. resnetmid's 3-stage base)
     dtype: Any = jnp.bfloat16
+    fused_1x1: bool | None = None  # None = auto (TPU only)
 
     @property
     def feature_dim(self) -> int:
@@ -141,6 +199,7 @@ class ResNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, return_stages: bool = False):
         block_cls = _BLOCKS[self.block]
+        fused = resolve_fused_1x1(self.fused_1x1) and self.block == "bottleneck"
         x = x.astype(self.dtype)
         x = ConvBN(
             64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
@@ -160,6 +219,8 @@ class ResNetTrunk(nn.Module):
                 needs_down = b == 0 and (
                     stride != 1 or in_planes != p * block_cls.expansion
                 )
+                extra = {"fused_1x1": fused} if self.block == "bottleneck" \
+                    else {}
                 x = block_cls(
                     planes=p,
                     strides=stride,
@@ -168,6 +229,7 @@ class ResNetTrunk(nn.Module):
                     base_width=self.width_per_group,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{b}",
+                    **extra,
                 )(x, train)
             in_planes = p * block_cls.expansion
             stages.append(x)

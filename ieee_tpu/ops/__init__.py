@@ -10,7 +10,7 @@ from .distance import (
     cosine_distance,
     euclidean_squared_distance,
 )
-from .ranking import evaluate_rank
+from .ranking import eval_regdb, evaluate_rank
 
 __all__ = [
     "accuracy",

@@ -25,14 +25,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# The kernel keeps the whole feature dim resident per block: VMEM holds
+# (TILE_Q + TILE_G) * K_padded elements double-buffered, so K is bounded to
+# keep within the 16 MB budget (reID features are <= 2304-d; larger K falls
+# back to the fused XLA expression rather than risking a VMEM OOM)
+MAX_K = 4096
+
+
 def pallas_supported(shape1, shape2) -> bool:
-    """Use the Pallas path on TPU for non-trivial problem sizes; tiny shapes
-    and CPU test meshes fall back to the fused XLA expression."""
+    """Use the Pallas path on TPU for non-trivial problem sizes; tiny shapes,
+    very wide features (> MAX_K), and CPU test meshes fall back to the fused
+    XLA expression."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     m, k = shape1
     n, _ = shape2
-    return m * n >= 512 * 512 and k >= _LANE
+    return m * n >= 512 * 512 and _LANE <= k <= MAX_K
 
 
 def _distmat_kernel(q_ref, g_ref, out_ref):

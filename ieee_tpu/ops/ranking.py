@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["evaluate_rank", "eval_market1501_numpy", "eval_market1501_device"]
+__all__ = ["evaluate_rank", "eval_market1501_numpy", "eval_market1501_device",
+           "eval_regdb"]
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +57,15 @@ def eval_market1501_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
             continue
         cmc = raw_cmc.cumsum()
         cmc[cmc > 1] = 1
-        all_cmc.append(cmc[:max_rank])
+        cmc = cmc[:max_rank]
+        if len(cmc) < max_rank:
+            # queries keeping fewer than max_rank gallery entries: extend with
+            # the final hit state (matches the device path's padded semantics;
+            # np.asarray on a ragged list raises on modern numpy)
+            cmc = np.concatenate(
+                [cmc, np.full(max_rank - len(cmc), cmc[-1], cmc.dtype)]
+            )
+        all_cmc.append(cmc)
         num_valid_q += 1.0
         num_rel = raw_cmc.sum()
         tmp_cmc = raw_cmc.cumsum() / (np.arange(len(raw_cmc)) + 1.0)
@@ -66,6 +75,21 @@ def eval_market1501_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     assert num_valid_q > 0, "Error: all query identities do not appear in gallery"
     all_cmc = np.asarray(all_cmc, dtype=np.float32).sum(0) / num_valid_q
     return all_cmc, float(np.mean(all_AP))
+
+
+def eval_regdb(distmat, q_pids, g_pids, q_timeids=None, g_timeids=None,
+               max_rank: int = 20):
+    """RegDB protocol (reference ``rank.py:175-230``): visible<->thermal
+    cross-modal eval. The reference hardwires q_camid=1 / g_camid=2, so the
+    same-(pid, camid) removal never fires — equivalently, market1501 eval
+    with no camera filtering. ``q_timeids``/``g_timeids`` are accepted and
+    ignored, as the reference does."""
+    num_q, num_g = np.asarray(distmat).shape
+    q_camids = np.ones(num_q, np.int32)
+    g_camids = 2 * np.ones(num_g, np.int32)
+    return eval_market1501_numpy(
+        distmat, q_pids, g_pids, q_camids, g_camids, max_rank
+    )
 
 
 def eval_cuhk03_numpy(

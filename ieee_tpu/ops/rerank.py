@@ -29,7 +29,10 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1: int = 20, k2: int = 6,
         axis=0,
     )
     all_num = original_dist.shape[0]
-    # column-max normalization (as the canonical implementation)
+    # square, then column-max normalize (``utils/rerank.py:44-47``): the
+    # squaring changes the gaussian weights exp(-d) and the final blend, so
+    # it is kept for protocol parity with the reference
+    original_dist = np.square(original_dist)
     original_dist = np.transpose(
         original_dist / np.max(original_dist, axis=0)
     )

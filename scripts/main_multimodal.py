@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 import jax
+import numpy as np
 
 from ieee_tpu.config import (
     engine_run_kwargs,
@@ -75,14 +76,24 @@ def main():
     print(f"Building model: {cfg.model.name}")
     extra = {}
     if cfg.model.name == "ieee3modalPart":
+        fused = cfg.tpu.fused_1x1
+        n_dev = (int(np.prod(cfg.tpu.mesh_shape)) if cfg.tpu.mesh_shape
+                 else len(jax.devices()))
+        if fused is None and n_dev > 1 and cfg.tpu.sync_batchnorm:
+            # Pallas stats epilogues are per-shard under pjit; global-batch
+            # BN over a multi-device mesh keeps the plain XLA path
+            fused = False
+            print("fused_1x1: auto-disabled (multi-device global-batch BN)")
         extra = dict(interaction=cfg.model.interaction,
                      attention=cfg.model.attention,
-                     using_REM=cfg.model.using_REM)
+                     using_REM=cfg.model.using_REM,
+                     fused_1x1=fused)
     model = build_model(
         name=cfg.model.name,
         num_classes=datamanager.num_train_pids,
         loss=cfg.loss.name,
         pretrained=cfg.model.pretrained,
+        dtype=cfg.tpu.compute_dtype,
         **extra,
     )
     variables = model.init_variables(
@@ -93,9 +104,9 @@ def main():
         variables = apply_pretrained(model, variables)
     if cfg.model.load_weights:
         lw = cfg.model.load_weights
-        if cfg.model.name == "ieee3modalPart" and lw.endswith(
-            (".pth", ".pth.tar")
-        ) or ".pth.tar-" in lw:
+        if cfg.model.name == "ieee3modalPart" and (
+            lw.endswith((".pth", ".pth.tar")) or ".pth.tar-" in lw
+        ):
             # reference-format torch checkpoint -> full conversion
             import torch
 

@@ -21,3 +21,11 @@ import jax  # noqa: E402
 
 if os.environ.get("IEEE_TPU_TEST_ON_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "e2e: slow end-to-end tier (full train loops / whole model zoo); "
+        "run the fast core with `pytest -m 'not e2e'`",
+    )

@@ -166,3 +166,106 @@ def test_k_tfm_multiple_augmentations():
     # draws differ across k
     assert not np.array_equal(out[0], out[1]) or not np.array_equal(
         out[1], out[2])
+
+
+def test_random_patch_pool_pastes_from_earlier_images():
+    """Exact RandomPatch semantics (reference transforms.py:144-230): the
+    patch pasted onto an image comes from the persistent cross-batch pool —
+    i.e. from EARLIER images, not the current one."""
+    from ieee_tpu.data.transforms import RandomPatchPool
+
+    pool = RandomPatchPool(min_sample_size=5, prob_happen=1.0,
+                           prob_rotate=1.1,  # rotate never fires
+                           prob_flip_leftright=1.1,  # flip never fires
+                           seed=0)
+    h, w = 64, 32
+    # feed 8 solid-color donor images; each contributes a patch to the pool
+    for i in range(8):
+        img = np.full((h, w, 3), 10 + i * 10, np.uint8)
+        pool(img)
+    assert len(pool.pool) >= 5
+
+    # fresh white images must come back with rectangles of donor pixels
+    # (a paste may also source the white image's own pool patch, so check
+    # across several calls)
+    donor_vals = set(range(10, 90, 10)) | {255}
+    saw_donor = False
+    for _ in range(6):
+        out = pool(np.full((h, w, 3), 255, np.uint8))
+        pasted = np.unique(out[out != 255])
+        assert all(int(v) in donor_vals for v in pasted)
+        saw_donor = saw_donor or pasted.size > 0
+    assert saw_donor
+
+
+def test_random_patch_pool_fill_and_probability_gates():
+    from ieee_tpu.data.transforms import RandomPatchPool
+
+    # below min fill: image returned unchanged
+    pool = RandomPatchPool(min_sample_size=100, seed=1)
+    img = np.full((64, 32, 3), 200, np.uint8)
+    out = pool(img)
+    assert np.array_equal(out, img)
+
+    # prob_happen=0: pool fills but never pastes
+    pool = RandomPatchPool(min_sample_size=2, prob_happen=0.0, seed=2)
+    for _ in range(5):
+        out = pool(img)
+        assert np.array_equal(out, img)
+    assert len(pool.pool) >= 2
+
+
+def test_build_host_transform_dispatch():
+    from ieee_tpu.data.transforms import RandomPatchPool, build_host_transform
+
+    assert build_host_transform(["random_flip"]) is None
+    assert build_host_transform(None) is None
+    ht = build_host_transform(["random_flip", "random_patch"])
+    assert isinstance(ht, RandomPatchPool)
+
+
+def test_loader_applies_host_transform():
+    from ieee_tpu.data import ImageDataManager
+
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, num_pids=4, imgs_per_pid=4,
+        transforms=["random_flip", "random_patch"], verbose=False, seed=0,
+    )
+    assert dm.host_transform_tr is not None
+    assert dm.train_loader.host_transform is dm.host_transform_tr
+    # test loaders never see the occlusion transform
+    tl = dm.test_loader["synthetic"]["query"]
+    assert tl.host_transform is None
+    batch = next(iter(dm.train_loader))
+    assert batch["img"].dtype == np.uint8
+
+
+def test_color_jitter_saturation_and_hue():
+    import jax.numpy as jnp
+
+    from ieee_tpu.data.transforms import _color_jitter, _hue_shift
+
+    # hue: rotating pure red by 1/3 of the circle gives pure green; by 2/3
+    # pure blue (torchvision hue semantics, fraction of full circle)
+    red = jnp.zeros((1, 2, 2, 3)).at[..., 0].set(1.0)
+    green = np.asarray(_hue_shift(red, jnp.full((1, 1, 1, 1), 1.0 / 3)))
+    np.testing.assert_allclose(green[..., 1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(green[..., 0], 0.0, atol=1e-5)
+    blue = np.asarray(_hue_shift(red, jnp.full((1, 1, 1, 1), 2.0 / 3)))
+    np.testing.assert_allclose(blue[..., 2], 1.0, atol=1e-5)
+
+    # saturation=0-range keeps images identical; gray images are fixed points
+    # of any saturation factor
+    gray = jnp.full((2, 4, 4, 3), 0.5)
+    out = _color_jitter(jax.random.PRNGKey(0), gray, brightness=0,
+                        contrast=0, saturation=0.8, hue=0)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+    # full-jitter path runs with all four knobs active
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 8, 4, 3)).astype(np.float32))
+    out = _color_jitter(jax.random.PRNGKey(1), x, brightness=0.2,
+                        contrast=0.15, saturation=0.3, hue=0.1)
+    assert out.shape == x.shape
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0

@@ -16,6 +16,8 @@ from ieee_tpu.engine import (
 from ieee_tpu.models import build_model
 from ieee_tpu.optim import build_lr_scheduler, build_optimizer
 
+pytestmark = pytest.mark.e2e
+
 
 def _make_dm(sources="synthetic", batch=8, **kw):
     return ImageDataManager(
@@ -97,6 +99,65 @@ def test_multimodal_engines_train_step(engine_cls, loss_name, tmp_path):
     rank1 = eng.run(save_dir=str(tmp_path), max_epoch=1, eval_freq=-1,
                     print_freq=2, ranks=(1,))
     assert np.isfinite(rank1)
+
+
+def test_k_tfm_train_step_e2e():
+    """k_tfm=2: two augmentation draws per image fold into the batch
+    (reference ``dataset.py:304-317``); the (P, K*k_tfm) loss contract holds
+    and a full train step runs with finite loss."""
+    import jax
+
+    from ieee_tpu.parallel import batch_sharding
+
+    dm = _make_dm("synthetic_mm", k_tfm=2)
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss="margin", pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.001, momentum=0.9)
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.001,
+                        margin=1.0, seed=0)
+    assert eng.num_instances == 8  # 4 sampler instances x 2 draws
+
+    data = next(iter(dm.train_loader))
+    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    step_fn = eng._build_train_step()
+    eng.state, metrics = step_fn(eng.state, imgs, pids, jax.random.PRNGKey(0),
+                                 0.001, None)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_engine_eval_step_uses_fused_path_and_matches_flax():
+    """Engine._build_eval_step dispatches full-IEEE eval to the fused
+    folded-BN + Pallas part-pool path; features must match the plain flax
+    apply (the two paths differ only in bf16 rounding)."""
+    from ieee_tpu.models.fast_eval import supports_fast_eval
+
+    dm = _make_dm("synthetic_mm")
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss="margin", pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.001)
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.001,
+                        seed=0)
+    assert supports_fast_eval(model.module)
+
+    data = next(iter(dm.test_loader["synthetic_mm"]["query"]))
+    imgs = tuple(np.asarray(m) for m in data["img"])
+    fused = np.asarray(eng.extract_features(imgs), np.float32)
+
+    tfm = dm.transform_te
+    ref = model.module.apply(
+        {"params": eng.state.params, "batch_stats": eng.state.batch_stats},
+        tuple(tfm(m) for m in imgs), train=False,
+    )
+    np.testing.assert_allclose(fused, np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    # ablation without REM falls back to the flax path
+    model_ab = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                           loss="margin", pretrained=False,
+                           backbone_layers=(1, 1, 1, 1), using_REM=False)
+    assert not supports_fast_eval(model_ab.module)
 
 
 def test_eval_feature_dim_is_2304():

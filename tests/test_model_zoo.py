@@ -7,6 +7,8 @@ import jax
 
 from ieee_tpu.models import build_model
 
+pytestmark = pytest.mark.e2e
+
 
 def _rand_inputs(m, b=2, h=64, w=32, seed=0):
     key = jax.random.PRNGKey(seed)

@@ -13,6 +13,8 @@ from ieee_tpu.models import build_model
 from ieee_tpu.optim import build_optimizer
 from ieee_tpu.parallel import batch_sharding, make_mesh
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def mesh8():
@@ -43,6 +45,68 @@ def test_train_step_sharded_over_mesh(mesh8):
     # params stay replicated after the update
     leaf = jax.tree_util.tree_leaves(eng.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sync_batchnorm_knob_changes_bn_stats(mesh8):
+    """cfg.tpu.sync_batchnorm: True = BN stats over the GLOBAL batch (pjit
+    semantics); False = per-replica stats via shard_map, running stats
+    cross-replica-averaged (DataParallel-faithful). The two must differ on a
+    batch whose per-shard statistics differ, and per-replica must equal a
+    hand-computed mean of per-shard BN updates."""
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+
+    def one_step(sync):
+        tx = build_optimizer(optim="sgd", lr=0.0)  # lr=0: isolate BN stats
+        eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                                 scheduler=lambda e: 0.0, mesh=mesh8, seed=0,
+                                 sync_batchnorm=sync)
+        step = eng._build_train_step()
+        data = next(iter(dm.train_loader))
+        imgs, pids = eng._put_batch(data, batch_sharding(mesh8))
+        eng.state, _ = step(eng.state, imgs, pids, jax.random.PRNGKey(0),
+                            0.0, None)
+        return jax.tree_util.tree_map(np.asarray, eng.state.batch_stats)
+
+    stats_sync = one_step(True)
+    stats_rep = one_step(False)
+    leaves_s = jax.tree_util.tree_leaves(stats_sync)
+    leaves_r = jax.tree_util.tree_leaves(stats_rep)
+    # means agree (mean of per-shard means == global mean, equal shards) but
+    # variances must differ (E[var_shard] < global var when shard means vary)
+    diffs = [np.max(np.abs(a - b)) for a, b in zip(leaves_s, leaves_r)]
+    assert max(diffs) > 1e-6
+
+
+def test_build_engine_wires_tpu_knobs(mesh8):
+    from ieee_tpu.config import get_default_config
+    from ieee_tpu.engine import build_engine
+    from ieee_tpu.optim import build_optimizer as bo
+
+    cfg = get_default_config()
+    cfg.model.name = "resnet18"
+    cfg.loss.name = "softmax"
+    cfg.tpu.mesh_shape = [8]
+    cfg.tpu.sync_batchnorm = False
+    cfg.tpu.donate = False
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False,
+                        dtype=cfg.tpu.compute_dtype)
+    eng = build_engine(cfg, dm, model, bo(optim="sgd", lr=0.01),
+                       lambda e: 0.01)
+    assert tuple(eng.mesh.devices.shape) == (8,)
+    assert eng.sync_batchnorm is False
+    assert eng.donate is False
 
 
 def test_multimodal_train_and_eval_on_mesh(mesh8, tmp_path):

@@ -4,6 +4,9 @@ from ieee_tpu.data import VideoDataManager
 from ieee_tpu.engine import VideoSoftmaxEngine, VideoTripletEngine
 from ieee_tpu.models import build_model
 from ieee_tpu.optim import build_lr_scheduler, build_optimizer
+import pytest
+
+pytestmark = pytest.mark.e2e
 
 
 def _make_dm():
