@@ -57,6 +57,9 @@ class DataLoader:
         # host-side per-image transform (only RandomPatch lives here — its
         # persistent cross-batch patch pool is host state; transforms.py)
         self.host_transform = host_transform
+        import threading as _threading
+
+        self._ht_lock = _threading.Lock()
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
         buf: List[int] = []
@@ -82,17 +85,48 @@ class DataLoader:
     def _load_batch(self, indices: List[int]) -> Dict[str, Any]:
         items = [self.dataset[i] for i in indices]
         if self.host_transform is not None:
-            for it in items:
-                if isinstance(it["img"], list):
-                    it["img"] = [self._apply_host(m) for m in it["img"]]
-                else:
-                    it["img"] = self._apply_host(it["img"])
+            # the RandomPatch pool is shared mutable state (deque + rng):
+            # serialize its application; decode above stays parallel
+            with self._ht_lock:
+                for it in items:
+                    if isinstance(it["img"], list):
+                        it["img"] = [self._apply_host(m) for m in it["img"]]
+                    else:
+                        it["img"] = self._apply_host(it["img"])
         return _collate(items)
+
+    def _iter_pool(self) -> Iterator[Dict[str, Any]]:
+        """workers >= 2: a thread pool decodes ``workers`` batches in
+        parallel (PIL/numpy release the GIL); batches are delivered in
+        sampler order, at most ``prefetch + workers`` in flight."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=self.workers)
+        pending: "deque" = deque()
+        it = self._batches_of_indices()
+        try:
+            for _ in range(self.prefetch + self.workers):
+                indices = next(it, None)
+                if indices is None:
+                    break
+                pending.append(ex.submit(self._load_batch, indices))
+            while pending:
+                batch = pending.popleft().result()
+                indices = next(it, None)
+                if indices is not None:
+                    pending.append(ex.submit(self._load_batch, indices))
+                yield batch
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.workers <= 0:
             for indices in self._batches_of_indices():
                 yield self._load_batch(indices)
+            return
+        if self.workers >= 2:
+            yield from self._iter_pool()
             return
 
         # background-thread prefetch (decode overlaps device compute)

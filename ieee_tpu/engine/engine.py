@@ -479,7 +479,11 @@ class Engine:
             gf = gf / np.maximum(np.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
 
         print(f"Computing distance matrix with metric={dist_metric} ...")
-        distmat = np.asarray(compute_distance_matrix(qf, gf, dist_metric))
+        from ..ops.distance import compute_distance_matrix_sharded
+
+        distmat = np.asarray(
+            compute_distance_matrix_sharded(qf, gf, self.mesh, dist_metric)
+        )
 
         if rerank:
             print("Applying person re-ranking ...")

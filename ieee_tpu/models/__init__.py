@@ -167,6 +167,26 @@ def ieee3modal_part(
     )
 
 
+@register_model("resnet50_ieee_3modal")
+def resnet50_ieee_3modal(num_classes, loss="softmax", pretrained=True,
+                         dtype=jnp.bfloat16, **kwargs):
+    """Analog of the reference's ``resnet50_ieee_3modal`` factory
+    (``models/resnet.py:1265-1280``): a headless trunk whose forward takes
+    ``(rest, one_feat)`` and returns the layer-4 map; the per-stage fusion
+    in the reference is commented out of its own forward (dead code), so
+    only the trunk (+ a discarded side branch) remains. Exposed for
+    inventory completeness — the reference never registers it either."""
+    from .resnet import ResNetIEEE3Modal
+
+    module = ResNetIEEE3Modal(layers=(3, 4, 6, 3), last_stride=1, dtype=dtype)
+    return ReIDModel(
+        module=module, name="resnet50_ieee_3modal", num_classes=num_classes,
+        loss=loss, num_streams=1, feature_dim=2048,
+        meta={"arch": "resnet50", "trunks": {"trunk": "resnet50"}
+              if pretrained else {}},
+    )
+
+
 def _wrap_trunk(trunk_partial, arch, num_classes, loss, feature_dim,
                 fc_dims=None, dropout_p=None, dtype=jnp.bfloat16, meta=None):
     from .heads import TrunkWithHead

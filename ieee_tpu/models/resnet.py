@@ -297,6 +297,50 @@ class ReIDResNet(nn.Module):
         raise KeyError(f"Unsupported loss: {self.loss}")
 
 
+class ResNetIEEE3Modal(nn.Module):
+    """Analog of the reference's ``ResNetIEEE_3modal``
+    (``resnet.py:639-880``): ``forward(rest, one_feat)`` runs the trunk over
+    ``rest`` and returns the layer-4 map. The reference's per-stage
+    cross-modal fusion calls are commented out in its own forward
+    (``resnet.py:860-880``), leaving only a side branch —
+    ``improveChannel(upsample_4x(one_feat))`` — whose output is discarded.
+    The fusion parameters (improveChannel / convOne_layer / convAvgRest_layer
+    / CA_layer at the layer-3 width) are declared here for checkpoint-tree
+    parity; XLA dead-code-eliminates their forward cost."""
+
+    block: str = "bottleneck"
+    layers: Sequence[int] = (3, 4, 6, 3)
+    last_stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rest, one_feat=None, train: bool = False):
+        import jax
+
+        # the reference's dead side branch (output discarded there too);
+        # runs unconditionally so the params always materialize — XLA
+        # dead-code-eliminates the compute since nothing consumes it
+        if one_feat is None:
+            one_feat = jnp.zeros((rest.shape[0], 1, 1, 2048), self.dtype)
+        up = jax.image.resize(
+            one_feat,
+            (one_feat.shape[0], one_feat.shape[1] * 4,
+             one_feat.shape[2] * 4, one_feat.shape[3]),
+            method="bilinear",
+        )
+        _ = ConvBN(1024, (1, 1), nonlinear="relu", dtype=self.dtype,
+                   name="improveChannel")(up, train)
+        # (the reference also declares never-called per-stage fusion modules
+        # — convOne_layer / convAvgRest_layer / CA_layer; they receive no
+        # gradient and are omitted here: flax only materializes called
+        # modules, and no registered factory ever loads this variant's
+        # checkpoints)
+        return ResNetTrunk(
+            block=self.block, layers=tuple(self.layers),
+            last_stride=self.last_stride, dtype=self.dtype, name="trunk",
+        )(rest, train)
+
+
 def make_trunk(name: str = "resnet50", last_stride: int = 2, dtype=jnp.bfloat16):
     block, layers, groups, wpg = RESNET_SPECS[name]
     return partial(

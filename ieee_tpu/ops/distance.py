@@ -12,9 +12,39 @@ import jax.numpy as jnp
 
 __all__ = [
     "compute_distance_matrix",
+    "compute_distance_matrix_sharded",
     "euclidean_squared_distance",
     "cosine_distance",
 ]
+
+
+def compute_distance_matrix_sharded(input1, input2, mesh,
+                                    metric: str = "euclidean"):
+    """Distmat with query rows sharded over the mesh's ``data`` axis —
+    each device computes its row-block against the replicated gallery
+    (shard_map, so the Pallas kernel partitions correctly per device).
+    Falls back to the single-device path on a 1-device mesh."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    if n_dev <= 1:
+        return compute_distance_matrix(input1, input2, metric)
+    q = jnp.asarray(input1)
+    g = jnp.asarray(input2)
+    m = q.shape[0]
+    mp = -(-m // n_dev) * n_dev
+    if mp != m:
+        q = jnp.concatenate([q, jnp.zeros((mp - m, q.shape[1]), q.dtype)])
+
+    fn = {"euclidean": euclidean_squared_distance,
+          "cosine": cosine_distance}.get(metric)
+    if fn is None:
+        raise ValueError(f'Unknown distance metric: {metric}')
+    out = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("data"), P()), out_specs=P("data"),
+    ))(q, g)
+    return out[:m]
 
 
 def compute_distance_matrix(input1, input2, metric: str = "euclidean"):

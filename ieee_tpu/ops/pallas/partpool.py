@@ -88,8 +88,8 @@ def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = 8):
     """
     b, h, w_dim, c = x.shape
     f = w.shape[1]
-    if h < parts:
-        raise ValueError(f"H={h} smaller than parts={parts}")
+    # h < parts is fine: the adaptive buckets [floor(p*h/P), ceil((p+1)*h/P))
+    # are always non-empty and may overlap, exactly like AdaptiveAvgPool2d
     pad_b = (-b) % tile_b
     if pad_b:
         x = jnp.concatenate([x, jnp.zeros((pad_b, h, w_dim, c), x.dtype)])

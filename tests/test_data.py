@@ -269,3 +269,44 @@ def test_color_jitter_saturation_and_hue():
                         contrast=0.15, saturation=0.3, hue=0.1)
     assert out.shape == x.shape
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+
+def test_loader_thread_pool_order_and_completeness():
+    """workers>=2 decodes via a thread pool but must deliver every batch in
+    sampler order (the P x K pid-grouping contract depends on it)."""
+    from ieee_tpu.data.datasets import init_image_dataset
+    from ieee_tpu.data.loader import DataLoader
+
+    ds = init_image_dataset("synthetic", mode="train", num_pids=6,
+                            imgs_per_pid=6, height=16, width=8, verbose=False)
+    for workers in (0, 1, 3):
+        dl = DataLoader(ds, sampler=range(len(ds)), batch_size=5,
+                        drop_last=False, workers=workers, prefetch=2)
+        batches = list(iter(dl))
+        pids = np.concatenate([b["pid"] for b in batches])
+        if workers == 0:
+            ref_pids = pids
+        else:
+            np.testing.assert_array_equal(pids, ref_pids)
+        assert len(pids) == len(ds)
+    # early abandonment leaks nothing and the pool shuts down
+    dl = DataLoader(ds, sampler=range(len(ds)), batch_size=5, workers=3)
+    it = iter(dl)
+    next(it)
+    it.close()  # no hang
+
+
+def test_loader_pool_with_host_transform():
+    from ieee_tpu.data.datasets import init_image_dataset
+    from ieee_tpu.data.loader import DataLoader
+    from ieee_tpu.data.transforms import RandomPatchPool
+
+    ds = init_image_dataset("synthetic", mode="train", num_pids=4,
+                            imgs_per_pid=6, height=32, width=16,
+                            verbose=False)
+    pool = RandomPatchPool(min_sample_size=3, prob_happen=1.0, seed=0)
+    dl = DataLoader(ds, sampler=range(len(ds)), batch_size=4, workers=3,
+                    host_transform=pool)
+    batches = list(iter(dl))
+    assert sum(len(b["pid"]) for b in batches) == len(ds)
+    assert len(pool.pool) > 0  # the shared pool accumulated patches

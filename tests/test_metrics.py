@@ -124,3 +124,28 @@ def test_native_cpp_rank_matches_numpy():
     cmc_c, map_c = eval_market1501_native(*prob, max_rank=20)
     np.testing.assert_allclose(cmc_c, cmc_np, rtol=1e-5, atol=1e-5)
     assert abs(map_c - map_np) < 1e-5
+
+
+def test_sharded_distmat_matches_single_device():
+    """Query rows sharded over an 8-device mesh (shard_map) must reproduce
+    the single-device distmat exactly, including non-divisible row counts."""
+    import jax
+
+    from ieee_tpu.ops.distance import (
+        compute_distance_matrix,
+        compute_distance_matrix_sharded,
+    )
+    from ieee_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh([8], ("data",))
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((19, 32)).astype(np.float32)  # 19 % 8 != 0
+    g = rng.standard_normal((23, 32)).astype(np.float32)
+    for metric in ("euclidean", "cosine"):
+        ref = np.asarray(compute_distance_matrix(q, g, metric))
+        out = np.asarray(compute_distance_matrix_sharded(q, g, mesh, metric))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

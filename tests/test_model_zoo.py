@@ -117,3 +117,22 @@ def test_nasnet_shapes():
     x = _rand_inputs(m, b=2, h=64, w=32)
     feat = m.apply(v, x, train=False)
     assert feat.shape == (2, 1056)
+
+
+def test_resnet50_ieee_3modal_trunk_shapes():
+    """The 3-modal fusion trunk variant (reference resnet.py:639-880):
+    forward(rest[, one_feat]) -> layer-4 map; the reference's per-stage
+    fusion is dead code in its own forward, so only the trunk + a discarded
+    side branch remain."""
+    m = build_model("resnet50_ieee_3modal", num_classes=5, loss="softmax",
+                    pretrained=False)
+    v = m.init_variables(0, batch=2, height=64, width=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 32, 3))
+    fmap = m.module.apply(v, x, train=False)
+    # last_stride=1: 64x32 -> 4x2 map, 2048 channels
+    assert fmap.shape == (2, 4, 2, 2048)
+    # the one_feat side branch runs (and is discarded) without changing out
+    one = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1, 2048))
+    fmap2 = m.module.apply(v, x, one_feat=one, train=False)
+    np.testing.assert_allclose(np.asarray(fmap2), np.asarray(fmap),
+                               rtol=1e-5, atol=1e-5)
