@@ -49,7 +49,12 @@ def main():
                          weight_decay=5e-4)
     sched = build_lr_scheduler("multi_step", stepsize=[20, 40], base_lr=0.001)
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=sched, margin=1.0,
-                        seed=0)
+                        seed=0,
+                        # measured winner of the XLA:TPU option sweep
+                        # (tools/xla_flag_sweep.py; CLAUDE.md perf study):
+                        # -4% step time vs compiler defaults on v5e
+                        compiler_options={
+                            "xla_tpu_scoped_vmem_limit_kib": "32768"})
     eng.max_epoch = 1
 
     # one fixed on-device batch: isolates chip throughput from the 1-core

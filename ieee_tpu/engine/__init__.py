@@ -37,6 +37,10 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
                            tuple(tpu.mesh_axes)),
             donate=bool(tpu.donate),
             sync_batchnorm=bool(tpu.sync_batchnorm),
+            compiler_options=dict(
+                s.split("=", 1)
+                for s in getattr(tpu, "compiler_options", [])
+            ),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

@@ -61,7 +61,7 @@ class Engine:
     def __init__(self, datamanager, model, optimizer=None, scheduler=None,
                  use_gpu: bool = True, mesh=None, seed: int = 1,
                  variables=None, donate: bool = True,
-                 sync_batchnorm: bool = True):
+                 sync_batchnorm: bool = True, compiler_options=None):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -73,6 +73,9 @@ class Engine:
         # semantics). False: per-replica stats via shard_map — faithful to
         # the reference's nn.DataParallel (SURVEY §2.8 decision, cfg.tpu knob)
         self.sync_batchnorm = sync_batchnorm
+        # per-jit XLA:TPU option overrides ({flag: value}); measured wins
+        # from tools/xla_flag_sweep.py land here via cfg.tpu.compiler_options
+        self.compiler_options = dict(compiler_options or {})
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -173,7 +176,7 @@ class Engine:
             check_vma=False,
         )(params, batch_stats, imgs)
 
-    def _build_train_step(self):
+    def _build_train_step(self, compiler_options=None):
         model = self.model
         tx = self.optimizer
 
@@ -218,7 +221,10 @@ class Engine:
             return new_state, metrics
 
         donate = (0,) if self.donate else ()
-        return jax.jit(step, donate_argnums=donate, static_argnums=())
+        opts = compiler_options if compiler_options is not None \
+            else (self.compiler_options or None)
+        return jax.jit(step, donate_argnums=donate, static_argnums=(),
+                       compiler_options=opts)
 
     def _build_eval_step(self):
         model = self.model

@@ -10,8 +10,11 @@ from .cross_entropy import CrossEntropyLoss, cross_entropy_loss
 from .triplet import TripletLoss, hard_mine_triplet_loss
 from .margin import MultiModalMarginLoss, multi_modal_margin_loss
 from .hetero import HeteroLoss, hetero_loss
+from .time import TimeLoss, time_loss
 
 __all__ = [
+    "TimeLoss",
+    "time_loss",
     "CrossEntropyLoss",
     "cross_entropy_loss",
     "TripletLoss",

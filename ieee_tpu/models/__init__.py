@@ -16,6 +16,7 @@ from .base import ReIDModel
 from .ieee3modal import IEEE3modalPart
 from .resnet import RESNET_SPECS, ReIDResNet
 from . import converter
+from .graph import GAT, GraphAttentionLayer, GraphConvolution, gen_A, gen_adj
 
 __model_factory: Dict[str, Callable] = {}
 

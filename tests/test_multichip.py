@@ -109,6 +109,35 @@ def test_build_engine_wires_tpu_knobs(mesh8):
     assert eng.donate is False
 
 
+def test_build_engine_wires_compiler_options(mesh8):
+    """cfg.tpu.compiler_options "flag=value" strings reach the engine as the
+    per-jit XLA option dict (tools/xla_flag_sweep.py winners land here)."""
+    from ieee_tpu.config import get_default_config
+    from ieee_tpu.engine import build_engine
+    from ieee_tpu.optim import build_optimizer as bo
+
+    cfg = get_default_config()
+    cfg.model.name = "resnet18"
+    cfg.loss.name = "softmax"
+    cfg.tpu.mesh_shape = [8]
+    cfg.tpu.compiler_options = ["xla_tpu_scoped_vmem_limit_kib=65536"]
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False,
+                        dtype=cfg.tpu.compute_dtype)
+    eng = build_engine(cfg, dm, model, bo(optim="sgd", lr=0.01),
+                       lambda e: 0.01)
+    assert eng.compiler_options == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+    # jit construction with options must not raise (compilation — where an
+    # unknown flag would be rejected — only happens on first call)
+    eng._build_train_step()
+
+
 def test_multimodal_train_and_eval_on_mesh(mesh8, tmp_path):
     dm = ImageDataManager(
         sources="synthetic_mm", height=32, width=16, batch_size_train=8,
