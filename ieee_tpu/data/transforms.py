@@ -81,28 +81,54 @@ def _color_jitter(key, x, brightness=0.2, contrast=0.15, saturation=0.0,
                   hue=0.0):
     """torchvision-style ColorJitter on [0,1] images (the reference uses
     brightness=0.2, contrast=0.15, saturation=0, hue=0 —
-    ``transforms.py:299-302``). Divergence: ops apply in the fixed order
-    brightness -> contrast -> saturation -> hue rather than torchvision's
-    per-image random order (documented; a no-op for the reference config)."""
+    ``transforms.py:299-302``). torchvision applies the enabled ops in a
+    random order per image; with <= 2 ops enabled (the reference config:
+    brightness + contrast) that order is drawn per image here too, exactly.
+    Divergence: with >= 3 ops enabled the order is fixed
+    brightness -> contrast -> saturation -> hue (documented in README)."""
     b = x.shape[0]
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    if brightness > 0:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    def _brightness(x):
         bf = jax.random.uniform(k1, (b, 1, 1, 1), minval=1 - brightness,
                                 maxval=1 + brightness)
-        x = jnp.clip(x * bf, 0.0, 1.0)
-    if contrast > 0:
+        return jnp.clip(x * bf, 0.0, 1.0)
+
+    def _contrast(x):
         cf = jax.random.uniform(k2, (b, 1, 1, 1), minval=1 - contrast,
                                 maxval=1 + contrast)
         gray = _rgb_to_gray(x).mean(axis=(1, 2), keepdims=True)
-        x = jnp.clip((x - gray) * cf + gray, 0.0, 1.0)
-    if saturation > 0:
+        return jnp.clip((x - gray) * cf + gray, 0.0, 1.0)
+
+    def _saturation(x):
         sf = jax.random.uniform(k3, (b, 1, 1, 1), minval=1 - saturation,
                                 maxval=1 + saturation)
         gray = _rgb_to_gray(x)
-        x = jnp.clip(gray + (x - gray) * sf, 0.0, 1.0)
-    if hue > 0:
+        return jnp.clip(gray + (x - gray) * sf, 0.0, 1.0)
+
+    def _hue(x):
         hf = jax.random.uniform(k4, (b, 1, 1, 1), minval=-hue, maxval=hue)
-        x = _hue_shift(x, hf)
+        return _hue_shift(x, hf)
+
+    ops = []
+    if brightness > 0:
+        ops.append(_brightness)
+    if contrast > 0:
+        ops.append(_contrast)
+    if saturation > 0:
+        ops.append(_saturation)
+    if hue > 0:
+        ops.append(_hue)
+
+    if len(ops) == 2:
+        # both orders share the same factor draws (torchvision's get_params
+        # draws one factor per op per call, independent of the order)
+        fwd = ops[1](ops[0](x))
+        rev = ops[0](ops[1](x))
+        flip = jax.random.bernoulli(k5, 0.5, (b, 1, 1, 1))
+        return jnp.where(flip, rev, fwd)
+    for op in ops:
+        x = op(x)
     return x
 
 

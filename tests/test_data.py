@@ -271,6 +271,49 @@ def test_color_jitter_saturation_and_hue():
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
 
 
+def test_color_jitter_randomizes_two_op_order_per_image():
+    """With brightness+contrast (the reference config), torchvision draws the
+    op ORDER at random per image; our batch transform must produce a mix of
+    both orders — every image equals one of the two compositions, and over a
+    batch both orders appear."""
+    import jax
+    import jax.numpy as jnp
+
+    from ieee_tpu.data.transforms import _color_jitter, _rgb_to_gray
+
+    B = 32
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(B, 6, 4, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    bright, contr = 0.5, 0.5
+    out = np.asarray(_color_jitter(key, x, brightness=bright,
+                                   contrast=contr, saturation=0, hue=0))
+
+    # recompute the two compositions with the SAME internal factor draws
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    bf = jax.random.uniform(k1, (B, 1, 1, 1), minval=1 - bright,
+                            maxval=1 + bright)
+    cf = jax.random.uniform(k2, (B, 1, 1, 1), minval=1 - contr,
+                            maxval=1 + contr)
+
+    def do_b(v):
+        return jnp.clip(v * bf, 0.0, 1.0)
+
+    def do_c(v):
+        gray = _rgb_to_gray(v).mean(axis=(1, 2), keepdims=True)
+        return jnp.clip((v - gray) * cf + gray, 0.0, 1.0)
+
+    fwd = np.asarray(do_c(do_b(x)))
+    rev = np.asarray(do_b(do_c(x)))
+
+    is_fwd = np.array([np.allclose(out[i], fwd[i], atol=1e-6)
+                       for i in range(B)])
+    is_rev = np.array([np.allclose(out[i], rev[i], atol=1e-6)
+                       for i in range(B)])
+    assert np.all(is_fwd | is_rev)
+    assert is_fwd.any() and is_rev.any()
+
+
 def test_loader_thread_pool_order_and_completeness():
     """workers>=2 decodes via a thread pool but must deliver every batch in
     sampler order (the P x K pid-grouping contract depends on it)."""

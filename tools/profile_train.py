@@ -20,7 +20,12 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/ieee_trace")
     ap.add_argument("--top", type=int, default=60)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--option", action="append", default=[],
+                    help="XLA compiler option as flag=value (repeatable); "
+                         "default = bench.py's measured winner")
     args = ap.parse_args()
+    options = (dict(s.split("=", 1) for s in args.option) if args.option
+               else {"xla_tpu_scoped_vmem_limit_kib": "32768"})
 
     import jax
 
