@@ -116,6 +116,10 @@ def op_summary(trace_dir: str, plane_filter: str = "TPU",
                line_filter: str = "XLA Ops") -> List[Dict]:
     """Aggregate device op durations from a jax.profiler trace directory.
 
+    ``line_filter`` matches the line name EXACTLY: the default "XLA Ops" is
+    real device-op occupancy, while "Async XLA Ops" (a different line) is
+    overlapped DMA that would double-count wall time if substring-matched.
+
     Returns rows {name, total_ms, count, avg_us} sorted by total time.
     """
     paths = glob.glob(
@@ -130,7 +134,7 @@ def op_summary(trace_dir: str, plane_filter: str = "TPU",
                 continue
             names = plane["event_names"]
             for line in plane["lines"]:
-                if line_filter and line_filter not in line["name"]:
+                if line_filter and line["name"] != line_filter:
                     continue
                 for ev in line["events"]:
                     name = names.get(ev["metadata_id"],

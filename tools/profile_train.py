@@ -53,7 +53,7 @@ def main():
 
     data = next(iter(dm.train_loader))
     imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
-    step_fn = eng._build_train_step()
+    step_fn = eng._build_train_step(compiler_options=options)
     key = jax.random.PRNGKey(0)
 
     print("compiling ...", flush=True)
