@@ -80,14 +80,23 @@ def _kernel(x_ref, pool_ref, w_ref, s_ref, t_ref, out_ref, *, parts: int):
 
 
 @functools.partial(jax.jit, static_argnames=("parts", "tile_b"))
-def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = 8):
+def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = None):
     """x: (B, H, W, C) feature map; w: (C, F); s, t: (F,) folded BN.
 
     Returns (B, parts+1, F): row 0 = global feature, rows 1..parts = parts.
-    Requires H % parts == 0 and B % tile_b == 0 (pad the batch otherwise).
+    ``tile_b=None`` picks the largest batch tile whose double-buffered input
+    block + the resident projection weights fit the 16 MB scoped-VMEM stack
+    (at f32 256x128-map shapes tile_b=8 allocates 16.04 MB and the compiler
+    rejects it — caught by a real-chip eval run).
     """
     b, h, w_dim, c = x.shape
     f = w.shape[1]
+    if tile_b is None:
+        budget = 12 * 1024 * 1024  # leave headroom under the 16 MiB stack
+        tile_b = 8
+        while tile_b > 1 and (2 * tile_b * h * w_dim * c * x.dtype.itemsize
+                              + c * f * 2) > budget:
+            tile_b //= 2
     # h < parts is fine: the adaptive buckets [floor(p*h/P), ceil((p+1)*h/P))
     # are always non-empty and may overlap, exactly like AdaptiveAvgPool2d
     pad_b = (-b) % tile_b
