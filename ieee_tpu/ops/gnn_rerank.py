@@ -5,11 +5,18 @@ Reference analog: ``torchreid/utils/GPU-Re-Ranking/`` — two CUDA kernels
 ``gnn_propagate_kernel.cu``: A_new[i,f] = sum_j A[rank[i,j],f] * S[i,j])
 driven by ``gnn_reranking.py:27-59``.
 
-TPU re-design: both kernels are re-expressed as dense one-hot scatters and an
-MXU matmul. The propagation step IS a sparse (k2-per-row) matrix product
-W @ A with W[i, rank[i,j]] = S[i,j]; at re-ID gallery sizes densifying W and
-letting the 128x128 systolic array chew through it beats a scatter-gather
-kernel by a wide margin — the whole re-rank compiles to one XLA program.
+TPU re-design: the adjacency build is a dense one-hot scatter; the
+propagation A_new = W @ A (W sparse with k2 nonzeros per row,
+W[i, rank[i,j]] = S[i,j]) is computed as the k2-term gather-sum
+``sum_j S[:, j, None] * A[rank[:, j], :]`` — n/k2 (~2700x at Market scale)
+fewer FLOPs than densifying W into an MXU matmul. Measured on v5e at
+Market1501 scale (3368 q x 15913 g, 512-d, k1=26 k2=7): 660-700 ms/call
+on device for every variant tried (f32 gather / bf16 gather / bf16 dense
+MXU) — the binding cost is the (n, n) ``A + A.T`` symmetrization traffic
+each round, not propagation FLOPs; sim+top_k+final-dot alone is 94 ms.
+The whole re-rank compiles to one XLA program; pulling the full (q, g)
+index matrix to the host costs whatever the interconnect does (~6 s
+through the dev tunnel, ~20 ms over PCIe).
 """
 
 from __future__ import annotations
@@ -46,12 +53,21 @@ def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int):
     A = _scatter_rows(initial_rank, jnp.ones_like(S), n)
     S = S * S
 
-    # stage 2: two propagation rounds (reference gnn_propagate CUDA kernel)
+    # stage 2: two propagation rounds (reference gnn_propagate CUDA kernel):
+    # A_new[i] = sum_j S[i, j] * A[rank[i, j]] — k2 row-gathers + fma, the
+    # sparse product the CUDA kernel computes (never densify W: see module
+    # docstring for the measured cost of the dense form)
     if k2 != 1:
-        W = _scatter_rows(initial_rank[:, :k2], S[:, :k2], n)
+        idx = initial_rank[:, :k2]  # (n, k2)
+        vals = S[:, :k2]
         for _ in range(2):
             A = A + A.T
-            A = jnp.dot(W, A, preferred_element_type=jnp.float32)
+
+            def body(j, acc):
+                rows = jnp.take(A, idx[:, j], axis=0)
+                return acc + vals[:, j, None] * rows
+
+            A = jax.lax.fori_loop(0, k2, body, jnp.zeros_like(A))
             A_norm = jnp.linalg.norm(A, axis=1, keepdims=True)
             A = A / jnp.maximum(A_norm, 1e-12)
 
