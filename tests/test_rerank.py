@@ -96,3 +96,24 @@ def test_gnn_propagation_gather_matches_dense():
     dense_scores = np.asarray(jnp.dot(A[:10], A[10:].T,
                                       preferred_element_type=jnp.float32))
     np.testing.assert_allclose(scores, dense_scores, rtol=1e-5, atol=1e-6)
+
+
+def test_device_rerank_matches_numpy_oracle():
+    """re_ranking_device == the numpy port (itself bit-matched to the
+    reference's utils/rerank.py) across seeds and (k1, k2) settings."""
+    from ieee_tpu.ops.rerank import re_ranking
+    from ieee_tpu.ops.rerank_device import re_ranking_device
+
+    for seed, (k1, k2) in [(0, (8, 3)), (1, (20, 6)), (2, (11, 1))]:
+        rng = np.random.default_rng(seed)
+        nq, ng, d = 12, 48, 16
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        g = rng.standard_normal((ng, d)).astype(np.float32)
+
+        def sqdist(a, b):
+            return ((a[:, None] - b[None]) ** 2).sum(-1)
+
+        args = (sqdist(q, g), sqdist(q, q), sqdist(g, g))
+        ref = re_ranking(*args, k1=k1, k2=k2)
+        dev = re_ranking_device(*args, k1=k1, k2=k2)
+        np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-5)
