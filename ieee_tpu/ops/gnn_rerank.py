@@ -46,8 +46,12 @@ def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int):
     n = X_u.shape[0]
     original_score = jnp.dot(X_u, X_u.T, preferred_element_type=jnp.float32)
 
-    # initial ranking list: top-k1 by similarity
-    S, initial_rank = jax.lax.top_k(original_score, k1)
+    # initial ranking list: top-k1 by similarity. approx_max_k with
+    # recall_target=1.0 is EXACT top-k via the tiled TPU algorithm
+    # (lax.top_k lowers to a full (n, n) sort on this build; the sort
+    # largely overlaps other work, so this is hygiene, not a big win)
+    S, initial_rank = jax.lax.approx_max_k(original_score, k1,
+                                           recall_target=1.0)
 
     # stage 1: adjacency (reference build_adjacency_matrix CUDA kernel)
     A = _scatter_rows(initial_rank, jnp.ones_like(S), n)

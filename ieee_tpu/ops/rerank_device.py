@@ -33,9 +33,19 @@ import numpy as np
 __all__ = ["re_ranking_device"]
 
 
+def _top_idx(neg_dist, k):
+    """Indices of each row's k smallest distances. ``approx_max_k`` with
+    recall_target=1.0 is EXACT and uses the tiled TPU top-k algorithm;
+    ``lax.top_k`` lowers to a full (n, n) variadic sort on this XLA build
+    (the sort overlaps with other work, so wall-clock is ~equal — the
+    tiled form is kept as it frees the overlap window)."""
+    _, idx = jax.lax.approx_max_k(neg_dist, k, recall_target=1.0)
+    return idx
+
+
 def _topk_mask(neg_dist, k, n):
     """Boolean (n, n) mask of each row's k smallest distances."""
-    _, idx = jax.lax.top_k(neg_dist, k)
+    idx = _top_idx(neg_dist, k)
     rows = jnp.repeat(jnp.arange(n), k)
     return jnp.zeros((n, n), jnp.bool_).at[rows, idx.reshape(-1)].set(True)
 
@@ -76,7 +86,7 @@ def _rerank_core(q_g, q_q, g_g, k1: int, k2: int):
 
     # local query expansion: mean of V over the k2 nearest rows
     if k2 != 1:
-        _, idx2 = jax.lax.top_k(neg, k2)
+        idx2 = _top_idx(neg, k2)
 
         def body(j, acc):
             return acc + jnp.take(V, idx2[:, j], axis=0)
