@@ -31,10 +31,13 @@ PERF_COMPILER_OPTIONS = [
 
 
 def main():
+    import jax
+
     from ieee_tpu.config import get_default_config
 
     base = get_default_config()
-    if not base.tpu.compiler_options:
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and not base.tpu.compiler_options:
         # inject perf defaults ahead of the YAML/CLI merge: user-provided
         # cfg.tpu.compiler_options still win (merge overwrites the list)
         patched = list(PERF_COMPILER_OPTIONS)
