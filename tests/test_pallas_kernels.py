@@ -83,3 +83,27 @@ def test_fused_partpool_matches_xla_chain():
     np.testing.assert_allclose(out, want, rtol=2e-2, atol=2e-2)
     # relu zeros must agree exactly
     assert ((out == 0) == (want < 1e-6)).mean() > 0.95
+
+
+def test_fused_partpool_adaptive_tile_at_eval_shape():
+    """Regression for the real-chip scoped-VMEM OOM: at the fused-eval
+    shape (B=104 f32 maps of 16x8x2048 -> 768) the default tile_b=8 blocks
+    double-buffer past the 16 MiB scoped-VMEM stack; tile_b=None must pick
+    a smaller tile and still match the tile_b-agnostic math."""
+    B, H, W, C, F, P = 104, 16, 8, 2048, 768, 6
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (B, H, W, C), jnp.float32) * 0.1
+    w = jax.random.normal(jax.random.fold_in(key, 1), (C, F)) * 0.01
+    s = jnp.ones((F,), jnp.float32)
+    t = jnp.zeros((F,), jnp.float32)
+
+    auto = np.asarray(fused_partpool_project(x, w, s, t, parts=P))
+    assert auto.shape == (B, P + 1, F)
+    # the adaptive tile must fit the budget: 2 * tile * H*W*C * 4 + C*F*2
+    budget = 12 * 1024 * 1024
+    for tile in (8, 4, 2, 1):
+        if 2 * tile * H * W * C * 4 + C * F * 2 <= budget:
+            break
+    small = np.asarray(fused_partpool_project(x[:8], w, s, t, parts=P,
+                                              tile_b=tile))
+    np.testing.assert_allclose(auto[:8], small, rtol=1e-5, atol=1e-5)
