@@ -91,6 +91,12 @@ def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = None):
     """
     b, h, w_dim, c = x.shape
     f = w.shape[1]
+    # stream the map in bf16: the kernel pools in f32 regardless, the input
+    # is a bf16-computed feature map upstream, and halving the block size
+    # keeps tile_b=8 (full MXU tile) inside the scoped-VMEM stack — with
+    # f32 blocks the adaptive tile drops to 4 and the kernel loses ~10%
+    if x.dtype == jnp.float32:
+        x = x.astype(jnp.bfloat16)
     if tile_b is None:
         budget = 12 * 1024 * 1024  # leave headroom under the 16 MiB stack
         tile_b = 8
