@@ -19,6 +19,18 @@ __all__ = [
 ]
 
 
+def _parse_compiler_options(entries):
+    opts = {}
+    for s in entries:
+        if "=" not in s:
+            raise ValueError(
+                "cfg.tpu.compiler_options entries must be 'flag=value'; "
+                f"got {s!r}")
+        k, v = s.split("=", 1)
+        opts[k] = v
+    return opts
+
+
 def build_engine(cfg, datamanager, model, optimizer, scheduler,
                  variables=None):
     """Engine dispatch by ``cfg.loss.name`` (reference
@@ -37,10 +49,8 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
                            tuple(tpu.mesh_axes)),
             donate=bool(tpu.donate),
             sync_batchnorm=bool(tpu.sync_batchnorm),
-            compiler_options=dict(
-                s.split("=", 1)
-                for s in getattr(tpu, "compiler_options", [])
-            ),
+            compiler_options=_parse_compiler_options(
+                getattr(tpu, "compiler_options", [])),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

@@ -79,15 +79,18 @@ def _kernel(x_ref, pool_ref, w_ref, s_ref, t_ref, out_ref, *, parts: int):
     out_ref[:] = jnp.maximum(y, 0.0).reshape(tb, parts + 1, f)
 
 
-@functools.partial(jax.jit, static_argnames=("parts", "tile_b"))
-def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = None):
+@functools.partial(jax.jit,
+                   static_argnames=("parts", "tile_b", "stream_bf16"))
+def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = None,
+                           stream_bf16: bool = True):
     """x: (B, H, W, C) feature map; w: (C, F); s, t: (F,) folded BN.
 
     Returns (B, parts+1, F): row 0 = global feature, rows 1..parts = parts.
     ``tile_b=None`` picks the largest batch tile whose double-buffered input
     block + the resident projection weights fit the 16 MB scoped-VMEM stack
     (at f32 256x128-map shapes tile_b=8 allocates 16.04 MB and the compiler
-    rejects it — caught by a real-chip eval run).
+    rejects it — caught by a real-chip eval run). ``stream_bf16=False``
+    keeps an f32 input in f32 (exact pooling; smaller adaptive tile).
     """
     b, h, w_dim, c = x.shape
     f = w.shape[1]
@@ -95,7 +98,7 @@ def fused_partpool_project(x, w, s, t, parts: int = 6, tile_b: int = None):
     # is a bf16-computed feature map upstream, and halving the block size
     # keeps tile_b=8 (full MXU tile) inside the scoped-VMEM stack — with
     # f32 blocks the adaptive tile drops to 4 and the kernel loses ~10%
-    if x.dtype == jnp.float32:
+    if stream_bf16 and x.dtype == jnp.float32:
         x = x.astype(jnp.bfloat16)
     if tile_b is None:
         budget = 12 * 1024 * 1024  # leave headroom under the 16 MiB stack

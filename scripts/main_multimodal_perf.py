@@ -7,8 +7,10 @@ convolution algorithms, non-deterministic layouts; diff at ``:204-209``).
 XLA:TPU has no cudnn, but the same capability — trade strict reproducibility
 for autotuned compilation — maps to per-jit compiler options: this entry
 pre-loads the measured-win XLA:TPU options from ``tools/xla_flag_sweep.py``
-(plus the fusion autotuner) into ``cfg.tpu.compiler_options`` and then runs
-the standard entry. Everything stays overridable from the YAML/CLI.
+into ``cfg.tpu.compiler_options`` and then runs the standard entry.
+(The ``xla_tpu_autotune_*`` flags silently no-op without a tuning DB on this
+libtpu — see the sweep results — so only measured wins are preloaded.)
+Everything stays overridable from the YAML/CLI.
 
 Usage: identical to ``scripts/main_multimodal.py``.
 """

@@ -138,6 +138,19 @@ def test_build_engine_wires_compiler_options(mesh8):
     eng._build_train_step()
 
 
+def test_compiler_options_without_equals_is_a_clear_error():
+    """A cfg.tpu.compiler_options entry missing '=' must raise a ValueError
+    naming the bad string, not an opaque dict-update error."""
+    import pytest
+
+    from ieee_tpu.engine import _parse_compiler_options
+
+    with pytest.raises(ValueError, match="xla_tpu_bogus_flag"):
+        _parse_compiler_options(["xla_tpu_bogus_flag"])
+    assert _parse_compiler_options(["a=1", "b=x=y"]) == {
+        "a": "1", "b": "x=y"}
+
+
 def test_multimodal_train_and_eval_on_mesh(mesh8, tmp_path):
     dm = ImageDataManager(
         sources="synthetic_mm", height=32, width=16, batch_size_train=8,

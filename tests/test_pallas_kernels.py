@@ -107,3 +107,31 @@ def test_fused_partpool_adaptive_tile_at_eval_shape():
     small = np.asarray(fused_partpool_project(x[:8], w, s, t, parts=P,
                                               tile_b=tile))
     np.testing.assert_allclose(auto[:8], small, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_partpool_stream_bf16_opt_out():
+    """stream_bf16=False keeps an f32 input in f32 inside the kernel: the
+    pooling stage is then exact and the result matches the f64 oracle at
+    pure projection-bf16 tolerance, tighter than the streamed variant."""
+    B, H, W, C, F, P = 4, 16, 8, 256, 128, 6
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (B, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (C, F)) * 0.02
+    s = jnp.ones((F,), jnp.float32)
+    t = jnp.zeros((F,), jnp.float32)
+
+    exact = np.asarray(fused_partpool_project(x, w, s, t, parts=P, tile_b=2,
+                                              stream_bf16=False))
+    xf = np.asarray(x, np.float64)
+    gp = xf.mean(axis=(1, 2))
+    stripes = [
+        xf[:, (p * H) // P: -(-((p + 1) * H) // P), :, :].mean(axis=(1, 2))
+        for p in range(P)
+    ]
+    pooled = np.stack([gp] + stripes, axis=1)
+    want = np.maximum(pooled @ np.asarray(w, np.float64), 0.0)
+    np.testing.assert_allclose(exact, want, rtol=8e-3, atol=8e-3)
+    # and the streamed path is reproducibly different (bf16-pooled input)
+    streamed = np.asarray(fused_partpool_project(x, w, s, t, parts=P,
+                                                 tile_b=2))
+    assert not np.allclose(exact, streamed, rtol=0, atol=1e-7)
