@@ -6,7 +6,9 @@ sgd / rmsprop / radam with optional staged_lr) and ``lr_scheduler.py:7-68``
 
 Torch-semantic notes:
  - weight_decay is L2-into-gradient (torch SGD/Adam style), i.e.
-   ``add_decayed_weights`` BEFORE the moment transforms — not AdamW.
+   ``add_decayed_weights`` BEFORE the moment transforms — not AdamW —
+   except radam, whose vendored reference applies decoupled step-gated
+   decay (see ``optim/radam.py``).
  - the scheduler steps per EPOCH; we expose ``lr(epoch)`` and inject it as an
    optax hyperparam the engine updates at each epoch boundary, so the whole
    train step stays one compiled program (lr is a traced scalar, not a
@@ -29,7 +31,9 @@ __all__ = ["build_optimizer", "build_lr_scheduler", "AVAI_OPTIMS", "AVAI_SCH"]
 def _base_tx(optim, learning_rate, weight_decay, momentum, sgd_dampening,
              sgd_nesterov, rmsprop_alpha, adam_beta1, adam_beta2):
     parts = []
-    if weight_decay and weight_decay > 0:
+    if weight_decay and weight_decay > 0 and optim != "radam":
+        # torch L2-into-grad semantics; radam handles decay itself
+        # (decoupled + step-gated, see optim/radam.py)
         parts.append(optax.add_decayed_weights(weight_decay))
     if optim == "sgd":
         if momentum and momentum > 0:
@@ -48,8 +52,11 @@ def _base_tx(optim, learning_rate, weight_decay, momentum, sgd_dampening,
         if momentum and momentum > 0:
             parts.append(optax.trace(decay=momentum))
     elif optim == "radam":
-        parts.append(optax.scale_by_radam(b1=adam_beta1, b2=adam_beta2,
-                                          eps=1e-8))
+        from .radam import scale_by_ref_radam
+
+        parts.append(scale_by_ref_radam(
+            b1=adam_beta1, b2=adam_beta2, eps=1e-8,
+            weight_decay=weight_decay or 0.0))
     else:
         raise ValueError(f"Unsupported optimizer: {optim} (one of {AVAI_OPTIMS})")
     parts.append(optax.scale(-learning_rate))

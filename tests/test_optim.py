@@ -67,6 +67,118 @@ def test_adam_matches_torch_semantics():
                                rtol=1e-4, atol=1e-6)
 
 
+def _load_reference_radam():
+    """Import the reference's vendored RAdam by path
+    (/root/reference/torchreid/optim/radam.py). Its step() uses the
+    pre-1.5 ``Tensor.add_(scalar, tensor)`` / ``addcmul_/addcdiv_(scalar,
+    t1, t2)`` positional overloads; if this torch has removed them, shim
+    them so the reference math still executes verbatim."""
+    import importlib.util
+    import os.path as osp
+
+    import torch
+
+    path = "/root/reference/torchreid/optim/radam.py"
+    if not osp.exists(path):
+        pytest.skip("reference checkout not present")
+    try:
+        torch.zeros(1).add_(2.0, torch.zeros(1))
+    except TypeError:
+        orig_add = torch.Tensor.add_
+        orig_addcmul = torch.Tensor.addcmul_
+        orig_addcdiv = torch.Tensor.addcdiv_
+
+        def add_(self, a, b=None):
+            if b is None:
+                return orig_add(self, a)
+            return orig_add(self, b, alpha=a)
+
+        def addcmul_(self, a, b, c=None):
+            if c is None:
+                return orig_addcmul(self, a, b)
+            return orig_addcmul(self, b, c, value=a)
+
+        def addcdiv_(self, a, b, c=None):
+            if c is None:
+                return orig_addcdiv(self, a, b)
+            return orig_addcdiv(self, b, c, value=a)
+
+        torch.Tensor.add_ = add_
+        torch.Tensor.addcmul_ = addcmul_
+        torch.Tensor.addcdiv_ = addcdiv_
+    spec = importlib.util.spec_from_file_location("ref_radam", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("weight_decay", [0.0, 5e-4])
+def test_radam_matches_reference(weight_decay):
+    """Step-for-step parity vs the reference's vendored RAdam
+    (torchreid/optim/radam.py:19-129) over 25 steps — covering the early
+    degenerated-to-SGD regime (N_sma < 5, the first ~5 steps at b2=0.999)
+    and the rectified regime, with gated decoupled weight decay."""
+    import torch
+
+    ref = _load_reference_radam()
+    lr = 0.01
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(16).astype(np.float32)
+    grads = [rng.standard_normal(16).astype(np.float32) * (1.0 + 0.1 * i)
+             for i in range(25)]
+
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    opt = ref.RAdam([tw], lr=lr, weight_decay=weight_decay)
+    torch_traj = []
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+        torch_traj.append(tw.detach().numpy().copy())
+
+    tx = build_optimizer(optim="radam", lr=lr, weight_decay=weight_decay)
+    params = {"w": jnp.asarray(w0)}
+    state = None
+    for i, g in enumerate(grads):
+        params, state = _step(tx, params, {"w": jnp.asarray(g)}, state)
+        # f32 summation-order noise only (torch addcdiv vs fused jnp ops)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), torch_traj[i], rtol=1e-4, atol=2e-6,
+            err_msg=f"diverged at step {i + 1}")
+
+
+def test_radam_degenerated_to_sgd_false_freezes_early_steps():
+    """With degenerated_to_sgd=False the reference takes NO step (and no
+    weight decay) while N_sma < 5; our transform must emit zero updates
+    there and match the reference after the rectified regime kicks in."""
+    import torch
+
+    ref = _load_reference_radam()
+    from ieee_tpu.optim.radam import scale_by_ref_radam
+
+    lr, wd = 0.02, 1e-3
+    w0 = np.array([0.5, -1.5, 2.0, -0.25], np.float32)
+    g = np.array([1.0, -0.5, 0.25, 2.0], np.float32)
+
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    opt = ref.RAdam([tw], lr=lr, weight_decay=wd, degenerated_to_sgd=False)
+    tx = optax.chain(
+        scale_by_ref_radam(weight_decay=wd, degenerated_to_sgd=False),
+        optax.scale(-lr))
+    params = {"w": jnp.asarray(w0)}
+    state = None
+    for i in range(10):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+        params, state = _step(tx, params, {"w": jnp.asarray(g)}, state)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), rtol=2e-5,
+            atol=1e-6, err_msg=f"step {i + 1}")
+        if i < 4:  # N_sma(t) < 5 for t <= 5 at b2=0.999
+            np.testing.assert_array_equal(np.asarray(params["w"]), w0)
+
+
 @pytest.mark.parametrize("optim", AVAI_OPTIMS)
 def test_all_optimizers_run(optim):
     tx = build_optimizer(optim=optim, lr=0.01)
