@@ -75,6 +75,10 @@ def get_default_config() -> ConfigNode:
     cfg.train.batch_size = 32
     cfg.train.fixbase_epoch = 0
     cfg.train.open_layers = ["classifier"]
+    # faithful-fixbase extension (no reference-config analog): freeze frozen
+    # layers' BN running stats during warmup like torchtools.py:171-221's
+    # .eval() flip; default False = round-1 behavior (stats keep updating)
+    cfg.train.fixbase_bn_freeze = False
     cfg.train.staged_lr = False
     cfg.train.new_layers = ["classifier"]
     cfg.train.base_lr_mult = 0.1
@@ -237,6 +241,7 @@ def engine_run_kwargs(cfg: ConfigNode) -> dict:
         start_epoch=cfg.train.start_epoch,
         fixbase_epoch=cfg.train.fixbase_epoch,
         open_layers=cfg.train.open_layers,
+        fixbase_bn_freeze=cfg.train.fixbase_bn_freeze,
         start_eval=cfg.test.start_eval,
         eval_freq=cfg.test.eval_freq,
         test_only=cfg.test.evaluate,

@@ -187,7 +187,8 @@ class Engine:
 
         k_tfm = getattr(self.datamanager, "k_tfm", 1)
 
-        def step(state: TrainState, imgs, pids, key, lr, mask):
+        def step(state: TrainState, imgs, pids, key, lr, mask,
+                 stats_mask=None):
             imgs = self._transform_train(key, imgs)
             if k_tfm > 1:
                 # fold the K augmentation draws into the batch axis; pids
@@ -211,6 +212,14 @@ class Engine:
                 new_params = jax.tree_util.tree_map(
                     lambda new, old, m: jnp.where(m, new, old),
                     new_params, state.params, mask,
+                )
+            if stats_mask is not None:
+                # faithful-fixbase mode: frozen modules' BN running stats do
+                # not update during warmup (reference puts them in .eval(),
+                # torchtools.py:171-221)
+                new_stats = jax.tree_util.tree_map(
+                    lambda new, old, m: jnp.where(m, new, old),
+                    new_stats, state.batch_stats, stats_mask,
                 )
             metrics = dict(metrics)
             metrics["loss"] = loss
@@ -261,6 +270,7 @@ class Engine:
         print_freq: int = 10,
         fixbase_epoch: int = 0,
         open_layers=None,
+        fixbase_bn_freeze: bool = False,
         start_eval: int = 0,
         eval_freq: int = -1,
         test_only: bool = False,
@@ -298,7 +308,8 @@ class Engine:
         best_rank1 = -1.0
         for self.epoch in range(start_epoch, max_epoch):
             self.train(print_freq=print_freq, fixbase_epoch=fixbase_epoch,
-                       open_layers=open_layers)
+                       open_layers=open_layers,
+                       fixbase_bn_freeze=fixbase_bn_freeze)
             is_last = (self.epoch + 1) == max_epoch
             should_eval = (
                 eval_freq > 0
@@ -325,7 +336,8 @@ class Engine:
         print(f"Elapsed {datetime.timedelta(seconds=elapsed)}")
         return rank1
 
-    def train(self, print_freq=10, fixbase_epoch=0, open_layers=None):
+    def train(self, print_freq=10, fixbase_epoch=0, open_layers=None,
+              fixbase_bn_freeze=False):
         losses = MetricMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
@@ -339,6 +351,10 @@ class Engine:
             print(f"* Only train {open_layers} (epoch: {self.epoch + 1}/"
                   f"{fixbase_epoch})")
         mask = self._open_layers_mask(open_layers) if fixbase else None
+        stats_mask = (
+            self._open_layers_mask(open_layers, tree=self.state.batch_stats)
+            if (fixbase and fixbase_bn_freeze) else None
+        )
 
         num_batches = len(self.train_loader)
         in_shard = batch_sharding(self.mesh)
@@ -351,9 +367,12 @@ class Engine:
             self._host_step += 1
             # (divergence: reference also flips frozen BN to eval mode during
             # fixbase, torchtools.py:171-221; here frozen params stay frozen
-            # via the in-step mask while BN stats still update)
+            # via the in-step mask. Default: BN stats still update; with
+            # fixbase_bn_freeze the frozen layers' running stats are pinned
+            # too — the remaining divergence is that the forward still uses
+            # batch stats, not the running average, for frozen layers)
             self.state, metrics = self._train_step_fn(
-                self.state, imgs, pids, key, lr, mask
+                self.state, imgs, pids, key, lr, mask, stats_mask
             )
 
             batch_time.update(time.time() - end)
@@ -398,10 +417,14 @@ class Engine:
         pids = jax.device_put(data["pid"], in_shard)
         return imgs, pids
 
-    def _open_layers_mask(self, open_layers):
-        """1.0 for params in open layers (trainable during fixbase), else 0."""
+    def _open_layers_mask(self, open_layers, tree=None):
+        """1.0 for leaves under open top-level modules (trainable/updatable
+        during fixbase), else 0. ``tree`` defaults to the param tree; pass
+        ``state.batch_stats`` for the BN-running-stat mask."""
         open_layers = [open_layers] if isinstance(open_layers, str) else \
             list(open_layers)
+        if tree is None:
+            tree = self.state.params
 
         def label(path, _):
             top = path[0].key if hasattr(path[0], "key") else str(path[0])
@@ -409,7 +432,7 @@ class Engine:
                 1.0 if any(o in top for o in open_layers) else 0.0
             )
 
-        return jax.tree_util.tree_map_with_path(label, self.state.params)
+        return jax.tree_util.tree_map_with_path(label, tree)
 
     # ------------------------------------------------------------------
     # evaluation (reference Engine.test/_evaluate, engine.py:287-439)

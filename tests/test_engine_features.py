@@ -46,6 +46,39 @@ def test_fixbase_freezes_non_open_layers():
     )
 
 
+def test_fixbase_bn_freeze_pins_frozen_running_stats():
+    """fixbase_bn_freeze=True (cfg.train.fixbase_bn_freeze) pins the frozen
+    layers' BN running stats during warmup — the faithful analog of the
+    reference putting frozen modules in .eval() (torchtools.py:171-221).
+    Default (False) keeps the round-1 behavior: stats update everywhere."""
+    eng = _engine()
+    eng.max_epoch = 1
+    eng.epoch = 0
+    trunk_bn_before = jax.tree_util.tree_map(
+        np.asarray, eng.state.batch_stats["trunk"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1,
+                  open_layers=["classifier"], fixbase_bn_freeze=True)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.tree_util.tree_map(np.asarray, eng.state.batch_stats["trunk"]),
+        trunk_bn_before,
+    )
+
+    # control: default mode updates the trunk stats
+    eng2 = _engine()
+    eng2.max_epoch = 1
+    eng2.epoch = 0
+    mean_before = np.asarray(jax.tree_util.tree_leaves(
+        eng2.state.batch_stats["trunk"])[0])
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng2.train(print_freq=1000, fixbase_epoch=1,
+                   open_layers=["classifier"])
+    mean_after = np.asarray(jax.tree_util.tree_leaves(
+        eng2.state.batch_stats["trunk"])[0])
+    assert not np.allclose(mean_after, mean_before)
+
+
 def test_open_layers_respected_only_during_fixbase():
     eng = _engine()
     eng.max_epoch = 2
