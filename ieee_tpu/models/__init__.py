@@ -189,18 +189,25 @@ def resnet50_ieee_3modal(num_classes, loss="softmax", pretrained=True,
 
 
 def _wrap_trunk(trunk_partial, arch, num_classes, loss, feature_dim,
-                fc_dims=None, dropout_p=None, dtype=jnp.bfloat16, meta=None):
+                fc_dims=None, dropout_p=None, dtype=jnp.bfloat16, meta=None,
+                pretrained=False):
     from .heads import TrunkWithHead
 
     module = TrunkWithHead(
         trunk=trunk_partial, num_classes=num_classes, loss=loss,
         fc_dims=fc_dims, dropout_p=dropout_p, dtype=dtype,
     )
+    meta = meta or {"arch": arch, "trunks": {}}
+    if pretrained:
+        # generic whole-model warm start (zoo_converter) from a local
+        # torch state_dict named after the arch — the TPU analog of the
+        # reference's per-file init_pretrained_weights
+        meta.setdefault("zoo_pretrained", arch)
     return ReIDModel(
         module=module, name=arch, num_classes=num_classes, loss=loss,
         num_streams=1,
         feature_dim=fc_dims[-1] if fc_dims else feature_dim,
-        meta=meta or {"arch": arch, "trunks": {}},
+        meta=meta,
     )
 
 
@@ -218,7 +225,8 @@ def _register_trunk_models():
         def factory(num_classes, loss="softmax", pretrained=True,
                     _t=trunk_partial, _n=name, _f=feature_dim,
                     _fc=fc_dims, **kw):
-            return _wrap_trunk(_t, _n, num_classes, loss, _f, fc_dims=_fc, **kw)
+            return _wrap_trunk(_t, _n, num_classes, loss, _f, fc_dims=_fc,
+                               pretrained=pretrained, **kw)
 
         __model_factory[name] = factory
 
@@ -273,24 +281,32 @@ _register_trunk_models()
 def _register_osnet_variants():
     from .osnet import OSNET_WIDTHS, OSNet
 
-    def add_osnet(name, widths, conv1_IN=False, in_pattern=None):
+    def add_osnet(name, widths, conv1_IN=False, in_pattern=None,
+                  post_in_pattern=None):
         def factory(num_classes, loss="softmax", pretrained=True,
                     dtype=jnp.bfloat16, _w=widths, _cin=conv1_IN,
-                    _pat=in_pattern, _n=name, **kw):
+                    _pat=in_pattern, _post=post_in_pattern, _n=name, **kw):
             module = OSNet(
                 num_classes=num_classes, loss=loss, widths=_w,
                 conv1_IN=_cin,
-                in_pattern=_pat or ((False, False),) * 3, dtype=dtype,
+                in_pattern=_pat or ((False, False),) * 3,
+                post_in_pattern=_post or ((False, False),) * 3, dtype=dtype,
             )
+            meta = {"arch": _n, "trunks": {}}
+            if pretrained:
+                meta["zoo_pretrained"] = _n
             return ReIDModel(module=module, name=_n,
                              num_classes=num_classes, loss=loss,
                              num_streams=1, feature_dim=512,
-                             meta={"arch": _n, "trunks": {}})
+                             meta=meta)
 
         __model_factory[name] = factory
 
-    # osnet_ibn: IN stem (reference osnet.py osnet_ibn_x1_0 factory)
-    add_osnet("osnet_ibn_x1_0", OSNET_WIDTHS["osnet_x1_0"], conv1_IN=True)
+    # osnet_ibn: IN stem + post-add IN on stage-1 blocks (reference
+    # osnet.py osnet_ibn_x1_0 factory: OSNet(..., IN=True) -> conv1 IN and
+    # conv2's blocks get IN applied after the residual add)
+    add_osnet("osnet_ibn_x1_0", OSNET_WIDTHS["osnet_x1_0"], conv1_IN=True,
+              post_in_pattern=((True, True), (False, False), (False, False)))
     # osnet_ain: IN stem + mixed OSBlockINin pattern
     # (reference osnet_ain.py:536-560: stage1=[INin,INin],
     #  stage2=[plain,INin], stage3=[INin,plain])
@@ -389,10 +405,12 @@ def _make_osnet(arch, num_classes, loss, pretrained, dtype=jnp.bfloat16, **kw):
 
     module = OSNet(num_classes=num_classes, loss=loss,
                    widths=OSNET_WIDTHS[arch], dtype=dtype)
+    meta = {"arch": arch, "trunks": {}}
+    if pretrained:
+        meta["zoo_pretrained"] = arch
     return ReIDModel(
         module=module, name=arch, num_classes=num_classes, loss=loss,
-        num_streams=1, feature_dim=512,
-        meta={"arch": arch, "trunks": {}},  # no local torchvision weights
+        num_streams=1, feature_dim=512, meta=meta,
     )
 
 
@@ -427,13 +445,55 @@ def pfnet(num_classes, loss="softmax", pretrained=True, parts=2,
     )
 
 
+def _apply_zoo_pretrained(model: ReIDModel, variables):
+    """Whole-model warm start via the generic zoo converter: load a local
+    torch state_dict named after the arch and align it onto the variable
+    tree (models/zoo_converter.py). The reference equivalent is the
+    ``init_pretrained_weights`` block in every zoo model file
+    (``osnet.py:505-553``, ``senet.py:15-80``, ...)."""
+    import os
+    import os.path as osp
+
+    arch = model.meta.get("zoo_pretrained")
+    if not arch:
+        return variables
+    candidates = list(converter.pretrained_search_paths(arch))
+    for r in (osp.expanduser("~/.cache/torch/hub/checkpoints"),
+              os.environ.get("IEEE_TPU_PRETRAINED_DIR", "")):
+        if r and osp.isdir(r):
+            candidates += [osp.join(r, f) for f in sorted(os.listdir(r))
+                           if f.startswith(arch) and f.endswith(".pth")]
+    for path in candidates:
+        if not osp.isfile(path) or path.endswith(".npz"):
+            continue
+        try:
+            import torch
+
+            from .zoo_converter import convert_torch_zoo
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if "state_dict" in sd:
+                sd = sd["state_dict"]
+            sd = {(k[len("module."):] if k.startswith("module.") else k): v
+                  for k, v in sd.items()}
+            new_vars, _ = convert_torch_zoo(sd, variables)
+            return new_vars
+        except Exception as e:
+            warnings.warn(f"Failed zoo pretrained load from {path}: {e}")
+    warnings.warn(
+        f"No local pretrained weights for {arch} "
+        f"(set IEEE_TPU_PRETRAINED_DIR); using random init")
+    return variables
+
+
 def apply_pretrained(model: ReIDModel, variables):
     """Graft ImageNet-pretrained trunk weights into freshly-initialized
-    variables, for every trunk the model's meta declares. No-op (with a
-    warning) when no weight file is available locally."""
+    variables, for every trunk the model's meta declares — plus the generic
+    whole-model zoo path for non-ResNet archs. No-op (with a warning) when
+    no weight file is available locally."""
     trunks = model.meta.get("trunks", {})
     if not trunks:
-        return variables
+        return _apply_zoo_pretrained(model, variables)
     cache = {}
     for trunk_name, arch in trunks.items():
         if arch not in cache:

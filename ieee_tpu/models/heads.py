@@ -24,7 +24,11 @@ class TrunkWithHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_featuremaps: bool = False):
-        f = self.trunk(name="trunk")(x, train)
+        try:
+            trunk = self.trunk(name="trunk", dtype=self.dtype)
+        except TypeError:  # partial with dtype already bound
+            trunk = self.trunk(name="trunk")
+        f = trunk(x, train)
         if return_featuremaps:
             return f
         if self.pool == "avg":

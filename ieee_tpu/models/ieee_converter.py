@@ -36,10 +36,12 @@ def _np(v):
 
 
 def convert_ieee_torch_checkpoint(
-    state_dict: Dict[str, Any], parts: int = 6
+    state_dict: Dict[str, Any], parts: int = 6,
+    layers: Tuple[int, ...] = (3, 4, 6, 3),
 ) -> Tuple[Dict, Dict]:
     """Returns (params, batch_stats) trees matching
-    ``ieee_tpu.models.ieee3modal.IEEE3modalPart``."""
+    ``ieee_tpu.models.ieee3modal.IEEE3modalPart``. ``layers`` follows the
+    trunk depth (reduced-depth checkpoints are used by parity tests)."""
     sd = {
         (k[len("module."):] if k.startswith("module.") else k): v
         for k, v in state_dict.items()
@@ -64,7 +66,7 @@ def convert_ieee_torch_checkpoint(
     # 3x ResNet-50 trunks
     for i, m in enumerate(_MODAL):
         t_params, t_stats = convert_torch_trunk(
-            sd, block="bottleneck", layers=(3, 4, 6, 3),
+            sd, block="bottleneck", layers=tuple(layers),
             prefix=f"backbone.{i}.",
         )
         params[f"backbone_{m}"] = t_params

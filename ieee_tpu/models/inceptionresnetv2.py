@@ -35,12 +35,13 @@ class InceptionResNetV2Trunk(nn.Module):
 
         # mixed_5b -> 320 channels
         b0 = bc(96, (1, 1), 1, (0, 0), "m5b_0")(x, train)
-        b1 = bc(64, (1, 1), 1, (0, 0), "m5b_1a")(x, train)
+        b1 = bc(48, (1, 1), 1, (0, 0), "m5b_1a")(x, train)
         b1 = bc(64, (5, 5), 1, (2, 2), "m5b_1b")(b1, train)
         b2 = bc(64, (1, 1), 1, (0, 0), "m5b_2a")(x, train)
         b2 = bc(96, (3, 3), 1, (1, 1), "m5b_2b")(b2, train)
         b2 = bc(96, (3, 3), 1, (1, 1), "m5b_2c")(b2, train)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         b3 = bc(64, (1, 1), 1, (0, 0), "m5b_3")(b3, train)
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -87,8 +88,8 @@ class InceptionResNetV2Trunk(nn.Module):
         r2 = bc(320, (3, 3), 2, (0, 0), "rb_2c")(r2, train)
         x = jnp.concatenate([r0, r1, r2, mp(x)], axis=-1)
 
-        # 10x block8 (scale 0.20; last block without relu per torch impl —
-        # kept with relu for uniformity, negligible for reID training)
+        # 9x block8 (scale 0.20) + final block8 (scale 1.0, noReLU) —
+        # reference repeat_2 + self.block8 (inceptionresnetv2.py:289-300)
         for i in range(10):
             p = f"b8_{i}_"
             b0 = bc(192, (1, 1), 1, (0, 0), p + "0")(x, train)
@@ -98,6 +99,9 @@ class InceptionResNetV2Trunk(nn.Module):
             up = nn.Conv(2080, (1, 1), use_bias=True, dtype=self.dtype,
                          param_dtype=jnp.float32, name=p + "up")(
                 jnp.concatenate([b0, b1], axis=-1))
-            x = nn.relu(x + 0.20 * up)
+            if i < 9:
+                x = nn.relu(x + 0.20 * up)
+            else:
+                x = x + up
 
         return bc(1536, (1, 1), 1, (0, 0), "conv_final")(x, train)

@@ -43,8 +43,11 @@ class InceptionV4Trunk(nn.Module):
     def __call__(self, x, train=False):
         bc = self._bc
         mp = lambda z, s=2: nn.max_pool(z, (3, 3), strides=(s, s))
+        # reference branch pools use count_include_pad=False
+        # (inceptionv4.py:134,202,275)
         ap3 = lambda z: nn.avg_pool(z, (3, 3), strides=(1, 1),
-                                    padding=((1, 1), (1, 1)))
+                                    padding=((1, 1), (1, 1)),
+                                    count_include_pad=False)
         x = x.astype(self.dtype)
         # stem
         x = bc(32, (3, 3), 2, (0, 0), "s1")(x, train)

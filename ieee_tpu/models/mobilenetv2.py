@@ -1,6 +1,13 @@
 """MobileNetV2 trunk (reference ``torchreid/models/mobilenetv2.py``, 274 LoC:
 inverted-residual bottlenecks with expansion 6, width multipliers 1.0/1.4;
-reID head is global pool + fc)."""
+reID head is global pool + fc).
+
+Reference-faithful details (both verified by the converter parity test):
+ - channel widths are ``int(c * width_mult)`` (``mobilenetv2.py:95-117``),
+   NOT torchvision's make_divisible rounding;
+ - the 1x1 expansion conv exists even at expansion factor 1
+   (``mobilenetv2.py:50`` — conv1 is unconditional).
+"""
 
 from __future__ import annotations
 
@@ -11,7 +18,7 @@ import jax.numpy as jnp
 
 from .common import conv_kaiming_init
 
-# (expansion t, channels c, repeats n, stride s) — standard MobileNetV2 table
+# (expansion t, channels c, repeats n, stride s) — reference _make_layer calls
 _CFG = [
     (1, 16, 1, 1),
     (6, 24, 2, 2),
@@ -21,13 +28,6 @@ _CFG = [
     (6, 160, 3, 2),
     (6, 320, 1, 1),
 ]
-
-
-def _make_divisible(v, divisor=8):
-    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
-    if new_v < 0.9 * v:
-        new_v += divisor
-    return new_v
 
 
 class _ConvBNReLU6(nn.Module):
@@ -65,10 +65,9 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch * self.expand
         use_res = self.strides == 1 and in_ch == self.features
-        h = x
-        if self.expand != 1:
-            h = _ConvBNReLU6(hidden, 1, dtype=self.dtype, name="expand")(
-                h, train)
+        # the reference's Bottleneck.conv1 is unconditional — present even
+        # when expansion_factor == 1 (mobilenetv2.py:50)
+        h = _ConvBNReLU6(hidden, 1, dtype=self.dtype, name="expand")(x, train)
         h = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden,
                          dtype=self.dtype, name="dw")(h, train)
         h = _ConvBNReLU6(self.features, 1, act=False, dtype=self.dtype,
@@ -83,16 +82,16 @@ class MobileNetV2Trunk(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         x = x.astype(self.dtype)
-        in_ch = _make_divisible(32 * self.width_mult)
+        in_ch = int(32 * self.width_mult)
         x = _ConvBNReLU6(in_ch, 3, 2, dtype=self.dtype, name="conv1")(x, train)
         idx = 0
         for t, c, n, s in _CFG:
-            out_ch = _make_divisible(c * self.width_mult)
+            out_ch = int(c * self.width_mult)
             for i in range(n):
                 x = InvertedResidual(out_ch, s if i == 0 else 1, t,
                                      dtype=self.dtype,
                                      name=f"block{idx}")(x, train)
                 idx += 1
-        last = _make_divisible(1280 * max(self.width_mult, 1.0))
+        last = int(1280 * self.width_mult) if self.width_mult > 1 else 1280
         return _ConvBNReLU6(last, 1, dtype=self.dtype, name="conv_last")(
             x, train)

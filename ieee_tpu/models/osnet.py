@@ -98,13 +98,19 @@ class ChannelGate(nn.Module):
 
 class OSBlock(nn.Module):
     """Omni-scale residual block: 4 streams of 1..4 stacked Lite-3x3 convs,
-    gated sum, 1x1 expand, residual. ``in_norm=True`` applies instance
-    normalization to the expanded features inside the residual — the
-    OSBlockINin variant of OSNet-AIN (reference ``osnet_ain.py:271-299``)."""
+    gated sum, 1x1 expand, residual.
+
+    ``in_norm=True`` = the OSBlockINin variant of OSNet-AIN: conv3 drops its
+    BatchNorm (``Conv1x1Linear(..., bn=False)``) and instance normalization
+    is applied to the expanded features inside the residual (reference
+    ``osnet_ain.py:271-300``). ``post_in=True`` = the osnet.py OSBlock with
+    ``IN=True`` used by osnet_ibn: IN is applied AFTER the residual add,
+    before the relu (reference ``osnet.py:258-277``)."""
 
     features: int
     bottleneck_reduction: int = 4
     in_norm: bool = False
+    post_in: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -123,17 +129,27 @@ class OSBlock(nn.Module):
             streams.append(gate(s))
         x2 = sum(streams)
 
-        x3 = _ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
-                         name="conv3")(x2, train)
         if self.in_norm:
+            # Conv1x1Linear(bn=False) + IN inside the residual
+            x3 = nn.Conv(self.features, (1, 1), use_bias=False,
+                         kernel_init=conv_kaiming_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="conv3")(x2)
             x3 = nn.GroupNorm(num_groups=x3.shape[-1], epsilon=1e-5,
                               dtype=jnp.float32, param_dtype=jnp.float32,
                               name="IN")(x3).astype(self.dtype)
+        else:
+            x3 = _ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
+                             name="conv3")(x2, train)
         if identity.shape[-1] != self.features:
             identity = _ConvBNReLU(self.features, 1, relu=False,
                                    dtype=self.dtype, name="downsample")(
                 identity, train)
-        return nn.relu(x3 + identity)
+        out = x3 + identity
+        if self.post_in:
+            out = nn.GroupNorm(num_groups=out.shape[-1], epsilon=1e-5,
+                               dtype=jnp.float32, param_dtype=jnp.float32,
+                               name="IN")(out).astype(self.dtype)
+        return nn.relu(out)
 
 
 class OSNet(nn.Module):
@@ -145,6 +161,8 @@ class OSNet(nn.Module):
     conv1_IN: bool = False  # osnet_ibn / osnet_ain stem instance norm
     # per-stage tuple of per-block in_norm flags (OSNet-AIN mixed pattern)
     in_pattern: Sequence[Sequence[bool]] = ((False, False),) * 3
+    # per-stage tuple of per-block post-add IN flags (osnet_ibn: stage 1)
+    post_in_pattern: Sequence[Sequence[bool]] = ((False, False),) * 3
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -169,7 +187,9 @@ class OSNet(nn.Module):
         for stage in range(3):
             for b in range(self.blocks_per_stage[stage]):
                 in_norm = bool(self.in_pattern[stage][b])
-                x = OSBlock(w[stage + 1], in_norm=in_norm, dtype=self.dtype,
+                post_in = bool(self.post_in_pattern[stage][b])
+                x = OSBlock(w[stage + 1], in_norm=in_norm, post_in=post_in,
+                            dtype=self.dtype,
                             name=f"conv{stage + 2}_{b}")(x, train)
             if stage < 2:  # transition: 1x1 conv + 2x2 avgpool
                 x = _ConvBNReLU(w[stage + 1], 1, dtype=self.dtype,

@@ -1,6 +1,12 @@
 """SE-ResNet / SE-ResNeXt trunks (reference ``torchreid/models/senet.py``,
 688 LoC: squeeze-excitation bottlenecks; se_resnet50/101/152,
-se_resnext50/101 variants, fc512 heads)."""
+se_resnext50/101 variants, fc512 heads).
+
+Reference-faithful details (verified by the converter parity test):
+ - SEResNetBottleneck is Caffe-style — the stage stride sits on conv1, not
+   conv2 (``senet.py:180-186``); SEResNeXtBottleneck strides conv2;
+ - the stem maxpool uses ``ceil_mode=True`` (``senet.py:355``), emulated in
+   NHWC with asymmetric ((0,1),(0,1)) -inf padding."""
 
 from __future__ import annotations
 
@@ -50,9 +56,13 @@ class SEBottleneck(nn.Module):
     def __call__(self, x, train=False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = ConvBN(width, (1, 1), nonlinear="relu", dtype=self.dtype,
-                     name="cb1")(x, train)
-        out = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+        # reference SEResNetBottleneck (groups==1) puts the stage stride on
+        # conv1 (Caffe style, senet.py:180-186); SEResNeXt strides conv2
+        s1 = self.strides if self.groups == 1 else 1
+        s2 = 1 if self.groups == 1 else self.strides
+        out = ConvBN(width, (1, 1), (s1, s1), nonlinear="relu",
+                     dtype=self.dtype, name="cb1")(x, train)
+        out = nn.Conv(width, (3, 3), strides=(s2, s2),
                       padding=((1, 1), (1, 1)),
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=conv_kaiming_init, dtype=self.dtype,
@@ -84,7 +94,9 @@ class SENetTrunk(nn.Module):
         x = x.astype(self.dtype)
         x = ConvBN(64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
                    dtype=self.dtype, name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # torch MaxPool2d(3, 2, padding=0, ceil_mode=True): emulate with
+        # right/bottom -inf padding only (windows never start in padding)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
         planes = (64, 128, 256, 512)
         strides = (1, 2, 2, self.last_stride)
         in_planes = 64

@@ -1,5 +1,10 @@
 """SqueezeNet trunk (reference ``torchreid/models/squeezenet.py``, 236 LoC:
-Fire modules, v1.0 and v1.1 layouts)."""
+Fire modules, v1.0 and v1.1 layouts).
+
+Reference-faithful details (verified by the converter parity test): the stem
+conv has NO padding and every maxpool is ``ceil_mode=True``
+(``squeezenet.py:80-110``) — emulated with VALID conv and right/bottom-only
+-inf pool padding (exact for kernel 3 / stride 2)."""
 
 from __future__ import annotations
 
@@ -40,9 +45,11 @@ class SqueezeNetTrunk(nn.Module):
     def __call__(self, x, train=False):
         del train  # no BN in squeezenet
         x = x.astype(self.dtype)
-        mp = lambda z: nn.max_pool(z, (3, 3), strides=(2, 2))
+        mp = lambda z: nn.max_pool(z, (3, 3), strides=(2, 2),
+                                   padding=((0, 1), (0, 1)))
         if self.version == "1_0":
-            x = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), use_bias=True,
+            x = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
+                                use_bias=True,
                                 kernel_init=conv_kaiming_init,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name="conv1")(x))
@@ -57,7 +64,8 @@ class SqueezeNetTrunk(nn.Module):
             x = mp(x)
             x = Fire(64, 256, 256, dtype=self.dtype, name="fire9")(x)
         else:  # 1_1
-            x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), use_bias=True,
+            x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                                use_bias=True,
                                 kernel_init=conv_kaiming_init,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name="conv1")(x))

@@ -83,11 +83,13 @@ class XceptionTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         x = x.astype(self.dtype)
-        x = nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False,
+        # reference stem convs have padding=0 (xception.py:161-164)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID",
+                    use_bias=False,
                     kernel_init=conv_kaiming_init, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
         x = nn.relu(_BN(self.dtype, name="bn1")(x, train))
-        x = nn.Conv(64, (3, 3), use_bias=False,
+        x = nn.Conv(64, (3, 3), padding="VALID", use_bias=False,
                     kernel_init=conv_kaiming_init, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(x)
         x = nn.relu(_BN(self.dtype, name="bn2")(x, train))
