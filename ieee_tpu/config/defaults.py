@@ -32,6 +32,10 @@ def get_default_config() -> ConfigNode:
     cfg.data.sources = ["market1501"]
     cfg.data.targets = ["market1501"]
     cfg.data.workers = 1  # host decode threads
+    # pre-decoded uint8 memmap cache (data/cache.py): False = off, True =
+    # tmp dir, or a directory path. Exact (caches _read_resized output);
+    # covers the chip's step rate on decode-starved (few-core) hosts
+    cfg.data.decode_cache = False
     cfg.data.split_id = 0
     cfg.data.height = 256
     cfg.data.width = 128
@@ -171,6 +175,7 @@ def imagedata_kwargs(cfg: ConfigNode) -> dict:
         batch_size_train=cfg.train.batch_size,
         batch_size_test=cfg.test.batch_size,
         workers=cfg.data.workers,
+        decode_cache=cfg.data.decode_cache,
         num_instances=cfg.sampler.num_instances,
         num_cams=cfg.sampler.num_cams,
         num_datasets=cfg.sampler.num_datasets,

@@ -104,6 +104,7 @@ class ImageDataManager(DataManager):
         seed=None,
         verbose=True,
         prefetch=2,
+        decode_cache=False,
         **dataset_kwargs,
     ):
         super().__init__(
@@ -130,8 +131,15 @@ class ImageDataManager(DataManager):
         first = trainset.train[0][0]
         self._num_streams = len(first) if isinstance(first, (list, tuple)) else 1
 
+        loader_trainset = trainset
+        if decode_cache:
+            from .cache import CachedDataset
+
+            loader_trainset = CachedDataset(
+                trainset,
+                decode_cache if isinstance(decode_cache, str) else None)
         self.train_loader = DataLoader(
-            trainset,
+            loader_trainset,
             build_train_sampler(
                 trainset.train, train_sampler,
                 batch_size=batch_size_train, num_instances=num_instances,

@@ -353,3 +353,72 @@ def test_loader_pool_with_host_transform():
     batches = list(iter(dl))
     assert sum(len(b["pid"]) for b in batches) == len(ds)
     assert len(pool.pool) > 0  # the shared pool accumulated patches
+
+
+def test_decode_cache_exact_and_persistent(tmp_path):
+    """CachedDataset (data/cache.py) serves byte-identical images to the
+    wrapped dataset, across epochs and across instances (disk persistence),
+    single- and multi-modal."""
+    import numpy as np
+
+    from ieee_tpu.data.cache import CachedDataset
+    from ieee_tpu.data.datasets import init_image_dataset
+
+    for source in ("synthetic", "synthetic_mm"):
+        ds = init_image_dataset(source, mode="train", root="", height=32,
+                                width=16, num_pids=4, imgs_per_pid=4,
+                                verbose=False)
+        cached = CachedDataset(ds, str(tmp_path))
+        for i in range(len(ds)):
+            a, b = ds[i], cached[i]  # first touch: fill
+            if isinstance(a["img"], list):
+                for x, y in zip(a["img"], b["img"]):
+                    np.testing.assert_array_equal(x, y)
+            else:
+                np.testing.assert_array_equal(a["img"], b["img"])
+            assert a["pid"] == b["pid"] and a["camid"] == b["camid"]
+        # second epoch: memmap hits
+        for i in range(len(ds)):
+            a, b = ds[i], cached[i]
+            if isinstance(a["img"], list):
+                np.testing.assert_array_equal(np.stack(a["img"]),
+                                              np.stack(b["img"]))
+            else:
+                np.testing.assert_array_equal(a["img"], b["img"])
+        # a fresh instance reuses the disk cache (fill flags persisted)
+        cached2 = CachedDataset(ds, str(tmp_path))
+        assert cached2._fill.sum() == len(ds)
+        item = cached2[0]
+        ref = ds[0]
+        got = np.stack(item["img"]) if isinstance(item["img"], list) \
+            else item["img"]
+        want = np.stack(ref["img"]) if isinstance(ref["img"], list) \
+            else ref["img"]
+        np.testing.assert_array_equal(got, want)
+        assert item["pid"] == ref["pid"]
+
+
+def test_decode_cache_through_datamanager():
+    """decode_cache=True wires a CachedDataset into the train loader and
+    yields identical batches to the uncached manager."""
+    import numpy as np
+
+    from ieee_tpu.data import ImageDataManager
+
+    def batches(cache):
+        dm = ImageDataManager(
+            sources="synthetic_mm", height=32, width=16,
+            batch_size_train=8, batch_size_test=8, workers=0,
+            train_sampler="RandomIdentitySampler", num_instances=4,
+            num_pids=4, imgs_per_pid=8, verbose=False, seed=0,
+            transforms=None, decode_cache=cache,
+        )
+        return [b for b in dm.train_loader]
+
+    plain = batches(False)
+    cached = batches(True)
+    assert len(plain) == len(cached) > 0
+    for a, b in zip(plain, cached):
+        np.testing.assert_array_equal(a["pid"], b["pid"])
+        for x, y in zip(a["img"], b["img"]):
+            np.testing.assert_array_equal(x, y)

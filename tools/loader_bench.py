@@ -34,14 +34,21 @@ def main():
     from ieee_tpu.data import ImageDataManager
 
     results = {}
-    for workers in (0, 1, 2, 4):
+    for workers, cache in ((0, False), (1, False), (2, False), (4, False),
+                           (0, True), (2, True)):
         dm = ImageDataManager(
             root=args.root, sources=args.sources, height=args.height,
             width=args.width, batch_size_train=args.batch,
             batch_size_test=args.batch, workers=workers,
             train_sampler="RandomIdentitySampler", num_instances=4,
             num_pids=171, imgs_per_pid=8, verbose=False, seed=0,
+            decode_cache=cache,
         )
+        if cache:
+            # pre-fill pass: the cache decodes through on first touch;
+            # steady-state (epoch >= 2) is what training sees
+            for _ in dm.train_loader:
+                pass
         it = iter(dm.train_loader)
         next(it)  # warm (thread pool spin-up, caches)
         t0 = time.perf_counter()
@@ -53,8 +60,9 @@ def main():
             n += 1
         dt = time.perf_counter() - t0
         rate = n / dt if dt > 0 else float("inf")
-        results[workers] = rate
-        print(f"workers={workers}: {rate:.2f} batches/s "
+        tag = f"workers={workers}" + (" +cache" if cache else "")
+        results[tag] = rate
+        print(f"{tag}: {rate:.2f} batches/s "
               f"({rate * args.batch:.0f} imgs-or-triplets/s)")
 
     if args.step_rate is not None:
