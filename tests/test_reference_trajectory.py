@@ -132,6 +132,273 @@ def _eval_split():
     return q_imgs, g_imgs, q_pids, g_pids, q_camids, g_camids
 
 
+def _shallow_ref_model(ref_models, num_classes):
+    """Reference IEEE3modalPart with (1,1,1,1) trunks: monkeypatch the
+    module-level ``resnet50_ieee`` factory the model constructor calls
+    (``ieee3modalPart.py:305-310``) to build ``ResNetIEEE`` at reduced
+    depth, same as our ``backbone_layers=(1,1,1,1)`` knob."""
+    import importlib
+
+    ref_resnet = importlib.import_module("refmodels.resnet")
+
+    def shallow_resnet50_ieee(num_classes, loss="softmax", pretrained=False,
+                              **kwargs):
+        return ref_resnet.ResNetIEEE(
+            num_classes=num_classes, loss=loss, block=ref_resnet.Bottleneck,
+            layers=[1, 1, 1, 1], last_stride=1, fc_dims=[512],
+            dropout_p=None, **kwargs)
+
+    orig = ref_models.resnet50_ieee
+    ref_models.resnet50_ieee = shallow_resnet50_ieee
+    try:
+        model = ref_models.ieee3modalPart(num_classes=num_classes,
+                                          loss="margin", pretrained=False)
+    finally:
+        ref_models.resnet50_ieee = orig
+    return model
+
+
+def test_training_trajectory_50_steps_shallow(ref):
+    """Long-horizon parity at depth (1,1,1,1): 50 steps of SGD momentum 0.9
+    + weight_decay 5e-4 + multi_step lr (x0.1 at steps 20 and 40, the
+    reference schedule treated per-step) with live BN running stats,
+    asserting per-step loss parity and final eval-feature + CMC/mAP
+    equality. This is the decision-strength extension of the 6-step test
+    below (round-2 VERDICT item 2): momentum/decay/schedule interaction and
+    BN running-stat drift are all on the trajectory."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ieee_tpu.data import ImageDataManager
+    from ieee_tpu.engine import Image3MEngine
+    from ieee_tpu.engine.engine import TrainState
+    from ieee_tpu.models import build_model
+    from ieee_tpu.models.ieee_converter import convert_ieee_torch_checkpoint
+    from ieee_tpu.ops.ranking import eval_market1501_numpy
+    from ieee_tpu.optim import build_optimizer
+    from ieee_tpu.parallel import replicate
+
+    ref_models, ref_losses = ref
+    n_steps = 50
+    milestones = (20, 40)
+
+    torch.manual_seed(0)
+    rmodel = _shallow_ref_model(ref_models, NUM_CLASSES)
+    sd0 = {k: v.clone() for k, v in rmodel.state_dict().items()}
+    crit_x = ref_losses.CrossEntropyLoss(num_classes=NUM_CLASSES,
+                                         use_gpu=False, label_smooth=True)
+    crit_m = ref_losses.multiModalMarginLossNew(margin=1.0, dist_type="l2")
+    opt = torch.optim.SGD(rmodel.parameters(), lr=LR, momentum=0.9,
+                          weight_decay=5e-4)
+
+    def lr_at(step):
+        return LR * (0.1 ** sum(1 for m in milestones if step >= m))
+
+    rng = np.random.default_rng(123)
+    batches = []
+    for s in range(n_steps):
+        ids = (np.arange(P) + s) % NUM_CLASSES
+        pids = np.repeat(ids, K).astype(np.int64)
+        imgs = [rng.standard_normal((P * K, 3, H, W)).astype(np.float32) * 0.1
+                for _ in range(3)]
+        batches.append((imgs, pids))
+
+    ref_losses_per_step = []
+    rmodel.train()
+    for s, (imgs, pids) in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = lr_at(s)
+        timgs = [torch.tensor(m) for m in imgs]
+        tpids = torch.tensor(pids)
+        out_R, out_N, out_T, f_R, f_N, f_T = rmodel(timgs)
+        loss = crit_m(f_R, f_N, f_T, tpids)
+        loss = loss + (ref_losses.DeepSupervision(crit_x, out_R, tpids)
+                       + ref_losses.DeepSupervision(crit_x, out_N, tpids)
+                       + ref_losses.DeepSupervision(crit_x, out_T, tpids))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses_per_step.append(float(loss.detach()))
+
+    q_imgs, g_imgs, q_pids, g_pids, q_camids, g_camids = _eval_split()
+    rmodel.eval()
+    with torch.no_grad():
+        ref_qf = rmodel([torch.tensor(m) for m in q_imgs]).numpy()
+        ref_gf = rmodel([torch.tensor(m) for m in g_imgs]).numpy()
+
+    # ---- our side -------------------------------------------------------
+    params0, stats0 = convert_ieee_torch_checkpoint(
+        {k: v.numpy() for k, v in sd0.items()}, layers=(1, 1, 1, 1))
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=H, width=W,
+        batch_size_train=P * K, batch_size_test=8, workers=0,
+        train_sampler="RandomIdentitySampler", num_instances=K,
+        num_pids=NUM_CLASSES, imgs_per_pid=K, verbose=False, seed=0,
+    )
+    model = build_model("ieee3modalPart", num_classes=NUM_CLASSES,
+                        loss="margin", pretrained=False, dtype="float32",
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=LR, momentum=0.9, weight_decay=5e-4)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: LR,
+                        margin=1.0, weight_m=1.0, weight_x=1.0,
+                        label_smooth=True, seed=0, mesh=mesh, donate=False)
+    eng.datamanager.transform_tr = lambda key, x: x
+    eng.state = replicate(mesh, TrainState(
+        params=params0, batch_stats=stats0, opt_state=tx.init(params0),
+        step=jnp.zeros((), jnp.int32),
+    ))
+    step_fn = eng._build_train_step()
+
+    key = jax.random.PRNGKey(0)
+    our_losses_per_step = []
+    for s, (imgs, pids) in enumerate(batches):
+        jimgs = tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+                      for m in imgs)
+        eng.state, m = step_fn(eng.state, jimgs, jnp.asarray(pids),
+                               jax.random.fold_in(key, s), lr_at(s), None)
+        our_losses_per_step.append(float(m["loss"]))
+
+    ours = np.asarray(our_losses_per_step)
+    refs = np.asarray(ref_losses_per_step)
+    # identical weights at step 0 -> tight; BN-stat noise x SGD chaos grows
+    # along the trajectory (measured envelope at depth (1,1,1,1): <2% to
+    # step 20, <6% to step 50); a wiring/optimizer/schedule bug shows as
+    # 10s of percent and diverging trends
+    np.testing.assert_allclose(ours[0], refs[0], rtol=1e-4)
+    np.testing.assert_allclose(ours[:20], refs[:20], rtol=4e-2)
+    np.testing.assert_allclose(ours, refs, rtol=1e-1)
+    # both schedules must show the same lr-drop behavior: mean loss over the
+    # last 10 steps (lr 1e-5) within a tight band of each other
+    assert abs(ours[-10:].mean() - refs[-10:].mean()) / refs[-10:].mean() < 4e-2
+
+    def our_feats(imgs):
+        jimgs = tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+                      for m in imgs)
+        out = model.module.apply(
+            {"params": eng.state.params,
+             "batch_stats": eng.state.batch_stats}, jimgs, train=False)
+        return np.asarray(out, np.float32)
+
+    qf, gf = our_feats(q_imgs), our_feats(g_imgs)
+
+    def mAP(qf, gf):
+        d = (np.linalg.norm(qf[:, None] - gf[None], axis=-1) ** 2)
+        cmc, m = eval_market1501_numpy(d, q_pids, g_pids, q_camids, g_camids,
+                                       max_rank=5)
+        return m, cmc
+
+    ref_map, ref_cmc = mAP(ref_qf, ref_gf)
+    our_map, our_cmc = mAP(qf, gf)
+    assert abs(our_map - ref_map) < 0.02, (our_map, ref_map)
+    np.testing.assert_allclose(our_cmc, ref_cmc, atol=0.05)
+
+
+def test_full_depth_single_step_loss_and_grad_parity(ref):
+    """One full-depth (3,4,6,3) step from identical converted weights:
+    loss parity AND full-gradient-tree parity. The torch loss gradients are
+    mapped through the same checkpoint converter (gradients share their
+    parameters' shapes and names), giving leaf-for-leaf comparison across
+    all ~160 modules without a hand-written mapping."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ieee_tpu.data import ImageDataManager
+    from ieee_tpu.engine import Image3MEngine
+    from ieee_tpu.models import build_model
+    from ieee_tpu.models.ieee_converter import convert_ieee_torch_checkpoint
+    from ieee_tpu.optim import build_optimizer
+
+    ref_models, ref_losses = ref
+
+    torch.manual_seed(1)
+    rmodel = ref_models.ieee3modalPart(num_classes=NUM_CLASSES, loss="margin",
+                                       pretrained=False)
+    sd0 = {k: v.clone() for k, v in rmodel.state_dict().items()}
+    crit_x = ref_losses.CrossEntropyLoss(num_classes=NUM_CLASSES,
+                                         use_gpu=False, label_smooth=True)
+    crit_m = ref_losses.multiModalMarginLossNew(margin=1.0, dist_type="l2")
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.standard_normal((P * K, 3, H, W)).astype(np.float32) * 0.1
+            for _ in range(3)]
+    pids = np.repeat((np.arange(P)) % NUM_CLASSES, K).astype(np.int64)
+
+    rmodel.train()
+    timgs = [torch.tensor(m) for m in imgs]
+    tpids = torch.tensor(pids)
+    out_R, out_N, out_T, f_R, f_N, f_T = rmodel(timgs)
+    tloss = crit_m(f_R, f_N, f_T, tpids) + (
+        ref_losses.DeepSupervision(crit_x, out_R, tpids)
+        + ref_losses.DeepSupervision(crit_x, out_N, tpids)
+        + ref_losses.DeepSupervision(crit_x, out_T, tpids))
+    tloss.backward()
+
+    # torch grads -> flax trees via the SAME converter as the weights
+    grad_sd = {}
+    named = dict(rmodel.named_parameters())
+    for k, v in sd0.items():
+        if k in named and named[k].grad is not None:
+            grad_sd[k] = named[k].grad.clone()
+        else:
+            grad_sd[k] = v  # buffers: converter needs them present
+    ref_grads, _ = convert_ieee_torch_checkpoint(
+        {k: v.numpy() for k, v in grad_sd.items()})
+
+    # ---- our side: loss + grads at the converted weights ----------------
+    params0, stats0 = convert_ieee_torch_checkpoint(
+        {k: v.numpy() for k, v in sd0.items()})
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=H, width=W,
+        batch_size_train=P * K, batch_size_test=8, workers=0,
+        train_sampler="RandomIdentitySampler", num_instances=K,
+        num_pids=NUM_CLASSES, imgs_per_pid=K, verbose=False, seed=0,
+    )
+    model = build_model("ieee3modalPart", num_classes=NUM_CLASSES,
+                        loss="margin", pretrained=False, dtype="float32")
+    tx = build_optimizer(optim="sgd", lr=LR, momentum=0.9, weight_decay=5e-4)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: LR,
+                        margin=1.0, weight_m=1.0, weight_x=1.0,
+                        label_smooth=True, seed=0, mesh=mesh, donate=False)
+
+    jimgs = tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in imgs)
+    jpids = jnp.asarray(pids)
+
+    def loss_fn(params):
+        out, _ = eng._forward_train(params, stats0, jimgs)
+        loss, _ = eng.compute_loss(out, jpids)
+        return loss
+
+    with jax.disable_jit():
+        our_loss, our_grads = jax.value_and_grad(loss_fn)(params0)
+
+    np.testing.assert_allclose(float(our_loss), float(tloss.detach()),
+                               rtol=1e-4)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    flat_our = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(our_grads)[0])
+    compared = 0
+    for path, rg in flat_ref:
+        key = jax.tree_util.keystr(path)
+        og = flat_our.get(key)
+        if og is None:
+            continue
+        rg, og = np.asarray(rg), np.asarray(og)
+        scale = max(np.abs(rg).max(), np.abs(og).max(), 1e-6)
+        np.testing.assert_allclose(
+            og / scale, rg / scale, atol=2e-3,
+            err_msg=f"gradient mismatch at {key}")
+        compared += 1
+    assert compared > 100, f"only {compared} gradient leaves compared"
+
+
 def test_training_trajectory_matches_reference(ref):
     import torch
 
