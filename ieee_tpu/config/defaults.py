@@ -154,6 +154,12 @@ def get_default_config() -> ConfigNode:
     # "flag=value" strings (e.g. ["xla_tpu_scoped_vmem_limit_kib=65536"]).
     # Measured candidates: tools/xla_flag_sweep.py; [] = compiler defaults
     cfg.tpu.compiler_options = []
+    # opt-in bf16 streaming for the device k-reciprocal jaccard sweep
+    # (ops/rerank_device.py): faster, ~1e-3 relative off the f32 oracle
+    cfg.tpu.rerank_bf16 = False
+    # opt-in fused IEEE eval (folded-BN + Pallas part-pool,
+    # models/fast_eval.py); plain flax measured faster on v5e, so off
+    cfg.tpu.fused_eval = False
 
     return cfg
 

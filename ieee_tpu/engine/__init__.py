@@ -51,6 +51,8 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             sync_batchnorm=bool(tpu.sync_batchnorm),
             compiler_options=_parse_compiler_options(
                 getattr(tpu, "compiler_options", [])),
+            rerank_bf16=bool(getattr(tpu, "rerank_bf16", False)),
+            fused_eval=bool(getattr(tpu, "fused_eval", False)),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

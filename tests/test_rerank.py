@@ -117,3 +117,50 @@ def test_device_rerank_matches_numpy_oracle():
         ref = re_ranking(*args, k1=k1, k2=k2)
         dev = re_ranking_device(*args, k1=k1, k2=k2)
         np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gnn_track_transpose_matches_explicit_form():
+    """The transpose-free propagation (At tracked via the symmetry of
+    A + A.T) is numerically equivalent to the explicit A + A.T form."""
+    import jax.numpy as jnp
+
+    from ieee_tpu.ops.gnn_rerank import _gnn_rerank_scores
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((12, 16)).astype(np.float32)
+    g = rng.standard_normal((40, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+
+    s_new = np.asarray(_gnn_rerank_scores(jnp.asarray(q), jnp.asarray(g),
+                                          8, 4, True))
+    s_old = np.asarray(_gnn_rerank_scores(jnp.asarray(q), jnp.asarray(g),
+                                          8, 4, False))
+    np.testing.assert_allclose(s_new, s_old, rtol=1e-5, atol=1e-6)
+
+
+def test_device_rerank_bf16_minsum_close_to_oracle():
+    """minsum_bf16=True stays rank-meaningful: within ~2e-3 of the exact
+    device result (it intentionally breaks the 1e-4 oracle parity)."""
+    from ieee_tpu.ops.rerank_device import re_ranking_device
+
+    rng = np.random.default_rng(11)
+    feats = []
+    pids = []
+    for pid in range(8):
+        c = 3.0 * rng.standard_normal(24)
+        for _ in range(5):
+            feats.append(c + rng.standard_normal(24))
+            pids.append(pid)
+    feats = np.asarray(feats, np.float32)
+    q, g = feats[:12], feats[12:]
+
+    def sqdist(a, b):
+        return ((a[:, None] - b[None]) ** 2).sum(-1).astype(np.float32)
+
+    exact = re_ranking_device(sqdist(q, g), sqdist(q, q), sqdist(g, g),
+                              k1=10, k2=4)
+    fast = re_ranking_device(sqdist(q, g), sqdist(q, q), sqdist(g, g),
+                             k1=10, k2=4, minsum_bf16=True)
+    assert np.abs(fast - exact).max() < 2e-3
+    assert not np.array_equal(fast, exact)  # genuinely a different path
