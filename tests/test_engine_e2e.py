@@ -127,9 +127,10 @@ def test_k_tfm_train_step_e2e():
 
 
 def test_engine_eval_step_uses_fused_path_and_matches_flax():
-    """Engine._build_eval_step dispatches full-IEEE eval to the fused
-    folded-BN + Pallas part-pool path; features must match the plain flax
-    apply (the two paths differ only in bf16 rounding)."""
+    """With cfg.tpu.fused_eval the engine dispatches full-IEEE eval to the
+    fused folded-BN + Pallas part-pool path; features must match the plain
+    flax apply (the two paths differ only in bf16 rounding). Plain flax is
+    the DEFAULT (measured faster on v5e; VERDICT r2 item 3)."""
     from ieee_tpu.models.fast_eval import supports_fast_eval
 
     dm = _make_dm("synthetic_mm")
@@ -138,7 +139,7 @@ def test_engine_eval_step_uses_fused_path_and_matches_flax():
                         backbone_layers=(1, 1, 1, 1))
     tx = build_optimizer(optim="sgd", lr=0.001)
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.001,
-                        seed=0)
+                        seed=0, fused_eval=True)
     assert supports_fast_eval(model.module)
 
     data = next(iter(dm.test_loader["synthetic_mm"]["query"]))
