@@ -81,17 +81,45 @@ class InceptionB(nn.Module):
         return jnp.concatenate([s1, s2, s3], axis=-1)
 
 
+def _resize_bilinear_ac(x, oh: int, ow: int):
+    """Bilinear resize with torch ``align_corners=True`` semantics
+    (``F.upsample(..., align_corners=True)``): output i samples input at
+    ``i * (in-1) / (out-1)``. Separable matrices -> two einsums."""
+    import numpy as np
+
+    b, ih, iw, c = x.shape
+
+    def mat(out_n, in_n):
+        m = np.zeros((out_n, in_n), np.float32)
+        if out_n == 1 or in_n == 1:
+            m[:, 0] = 1.0
+            return m
+        pos = np.arange(out_n) * (in_n - 1) / (out_n - 1)
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, in_n - 1)
+        hi = np.minimum(lo + 1, in_n - 1)
+        w = pos - lo
+        m[np.arange(out_n), lo] += 1.0 - w
+        m[np.arange(out_n), hi] += w
+        return m
+
+    wh = jnp.asarray(mat(oh, ih))
+    ww = jnp.asarray(mat(ow, iw))
+    y = jnp.einsum("oh,bhwc->bowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,bowc->bopc", ww, y)
+    return y.astype(x.dtype)
+
+
 class SoftAttn(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train=False):
         # spatial branch: channel-mean -> stride-2 conv -> upsample -> 1x1
+        # (reference upsample is align_corners=True, hacnn.py:104-109)
         s = jnp.mean(x, axis=-1, keepdims=True)
         s = ConvBlock(1, (3, 3), 2, (1, 1), dtype=self.dtype,
                       name="spatial1")(s, train)
-        s = jax.image.resize(s, (s.shape[0], s.shape[1] * 2, s.shape[2] * 2, 1),
-                             method="bilinear")
+        s = _resize_bilinear_ac(s, s.shape[1] * 2, s.shape[2] * 2)
         s = ConvBlock(1, (1, 1), 1, (0, 0), dtype=self.dtype,
                       name="spatial2")(s, train)
         # channel branch: squeeze-excite style
@@ -123,14 +151,16 @@ class HardAttn(nn.Module):
         return theta.reshape(-1, 4, 2)
 
 
-def _affine_sample(x, theta_t, scale, out_hw):
-    """Bilinear sample of an affine crop (torch affine_grid semantics,
-    align_corners=False default): scale fixed to (1, 0.25), translation from
-    theta. x: (B,H,W,C); theta_t: (B,2) = (t_x, t_y)."""
+def _affine_sample(x, theta_t, scale):
+    """torch ``F.affine_grid`` + ``F.grid_sample`` (both align_corners=False,
+    the defaults the reference hits, ``hacnn.py:287-295``): sample the
+    affine crop at the SOURCE resolution — the reference then bilinearly
+    resizes (align_corners=True) to the stage's local size. scale fixed to
+    (1, 0.25), translation from theta. x: (B,H,W,C); theta_t: (B,2)."""
     b, h, w, c = x.shape
-    oh, ow = out_hw
+    oh, ow = h, w
     sx, sy = scale  # width, height scale
-    # normalized output grid in [-1, 1]
+    # normalized output grid at pixel centers (affine_grid ac=False)
     ys = (jnp.arange(oh) + 0.5) * 2.0 / oh - 1.0
     xs = (jnp.arange(ow) + 0.5) * 2.0 / ow - 1.0
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (oh, ow)
@@ -138,9 +168,9 @@ def _affine_sample(x, theta_t, scale, out_hw):
     def one(img, t):
         src_x = sx * gx + t[0]
         src_y = sy * gy + t[1]
-        # to pixel coords
-        px = (src_x + 1.0) * (w - 1) / 2.0
-        py = (src_y + 1.0) * (h - 1) / 2.0
+        # to pixel coords (grid_sample ac=False: px = ((g+1)*W - 1)/2)
+        px = ((src_x + 1.0) * w - 1.0) / 2.0
+        py = ((src_y + 1.0) * h - 1.0) / 2.0
         x0 = jnp.floor(px).astype(jnp.int32)
         y0 = jnp.floor(py).astype(jnp.int32)
         x1, y1 = x0 + 1, y0 + 1
@@ -198,14 +228,17 @@ class HACNN(nn.Module):
             out = h * attn
             if self.learn_region:
                 src = x if stage == 0 else prev_out
+                # ONE shared local conv per stage applied to all 4 regions
+                # (reference local_conv{1,2,3}, hacnn.py:258-260)
+                local_conv = InceptionB(nc[stage], dtype=self.dtype,
+                                        name=f"local_conv{stage + 1}")
                 new_locals = []
                 for r in range(4):
-                    crop = _affine_sample(src, theta[:, r, :], (1.0, 0.25),
-                                          local_sizes[stage])
+                    crop = _affine_sample(src, theta[:, r, :], (1.0, 0.25))
+                    crop = _resize_bilinear_ac(crop, *local_sizes[stage])
                     if stage > 0:
                         crop = crop + locals_[r]
-                    loc = InceptionB(nc[stage], dtype=self.dtype,
-                                     name=f"local{stage + 1}_{r}")(crop, train)
+                    loc = local_conv(crop, train)
                     new_locals.append(loc)
                 locals_ = new_locals
             prev_out = out

@@ -65,6 +65,13 @@ class MLFNBlock(nn.Module):
         mid = self.out_channels // 2
         residual = x
 
+        # fm1/fm2 BEFORE the fsm: keeps flax creation order aligned with
+        # the reference's registration order (mlfn.py:24-51) so the generic
+        # converter's same-shape fm-vs-fsm units stay unambiguous
+        h = _CBR(mid, 1, dtype=self.dtype, name="fm1")(x, train)
+        h = _CBR(mid, 3, self.strides, groups=self.groups, dtype=self.dtype,
+                 name="fm2")(h, train)
+
         # factor selection module: pooled MLP -> per-group sigmoid gate
         s = global_avg_pool(x)[:, None, None, :]
         s = _CBR(self.fsm_channels[0], 1, bias=True, dtype=self.dtype,
@@ -78,10 +85,6 @@ class MLFNBlock(nn.Module):
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="fsm3_bn")(s)
         s = nn.sigmoid(s).astype(self.dtype)  # (B,1,1,G)
-
-        h = _CBR(mid, 1, dtype=self.dtype, name="fm1")(x, train)
-        h = _CBR(mid, 3, self.strides, groups=self.groups, dtype=self.dtype,
-                 name="fm2")(h, train)
         # gate each conv group by its factor weight: channels are laid out
         # group-major by grouped conv, i.e. channel j belongs to group
         # j // (c // G) (torch repeat+permute trick, ``mlfn.py:63-69``)

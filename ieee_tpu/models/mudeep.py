@@ -96,7 +96,10 @@ class MuDeep(nn.Module):
         if return_featuremaps:
             return fused
 
-        v = fused.reshape(fused.shape[0], -1).astype(jnp.float32)
+        # reference flattens NCHW (B, 256, 16, 8) C-order (mudeep.py:191);
+        # permute to channel-major so fc weights are layout-compatible
+        v = jnp.transpose(fused, (0, 3, 1, 2)).reshape(
+            fused.shape[0], -1).astype(jnp.float32)
         v = nn.Dense(4096, kernel_init=dense_init, dtype=jnp.float32,
                      param_dtype=jnp.float32, name="fc")(v)
         v = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,

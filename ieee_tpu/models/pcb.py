@@ -44,7 +44,10 @@ class PCB(nn.Module):
             v = v / jnp.maximum(
                 jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12
             )
-            return v.reshape(v.shape[0], -1)
+            # reference flattens (B, 2048, P, 1) C-order -> channel-major
+            # (pcb.py eval: F.normalize(v_g, dim=1).view(B, -1)); keep that
+            # exact layout for drop-in feature compatibility
+            return jnp.swapaxes(v, 1, 2).reshape(v.shape[0], -1)
 
         v_g = nn.Dropout(rate=self.dropout_p, deterministic=not train)(v_g)
         v_h = ConvBN(self.reduced_dim, (1, 1), nonlinear="relu",

@@ -88,8 +88,9 @@ def torch_units(state_dict) -> List[Unit]:
             units.append(Unit(name, "affine", dict(
                 scale=g["weight"], bias=g.get("bias"))))
         else:
+            # bare nn.Parameters (MuDeep saliency weights, REM gamma, ...)
             for f, v in g.items():
-                units.append(Unit(f"{name}.{f}", "affine", dict(scale=v)))
+                units.append(Unit(f"{name}.{f}", "param", dict(value=v)))
     return units
 
 
@@ -140,8 +141,10 @@ def flax_units(variables) -> List[Unit]:
                 units.append(Unit("/".join(path), "affine", dict(
                     scale=node.get("scale"), bias=node.get("bias"))))
         elif leaf_keys:
+            # bare parameters (e.g. MuDeep's saliency weights, REM gamma):
+            # shape-agnostic unit; the path INCLUDES the leaf name
             for k in leaf_keys:
-                units.append(Unit("/".join(path + (k,)), "leaf",
+                units.append(Unit("/".join(path + (k,)), "param",
                                   dict(value=node[k])))
         for k in keys:
             v = node[k]
@@ -157,6 +160,11 @@ def flax_units(variables) -> List[Unit]:
 # ----------------------------------------------------------------------
 def _convertible(tu: Unit, fu: Unit) -> bool:
     """Can torch unit ``tu`` fill flax unit ``fu`` exactly (shape-wise)?"""
+    if fu.kind in ("conv", "dense") and tu.kind in ("conv", "dense"):
+        # bias presence must agree — same-shaped biased/unbiased convs
+        # coexist (e.g. MLFN's fsm vs fm chains) and must not cross-match
+        if (fu.arrays.get("bias") is None) != (tu.arrays.get("bias") is None):
+            return False
     if fu.kind == "conv" and tu.kind == "conv":
         o, i, kh, kw = tu.arrays["kernel"].shape
         fh, fw, fi, fo = fu.arrays["kernel"].shape
@@ -175,11 +183,19 @@ def _convertible(tu: Unit, fu: Unit) -> bool:
         fs = fu.shape("scale") or fu.shape("bias")
         ts = tu.shape("scale") or tu.shape("bias")
         return fs == ts
+    if fu.kind == "param" and tu.kind == "param":
+        # layout may differ (NCHW (1,C,1,1) vs NHWC (1,1,1,C)): match on
+        # squeezed shape, reshape at convert
+        return tuple(d for d in fu.shape("value") if d != 1) == tuple(
+            d for d in tu.shape("value") if d != 1)
     return False
 
 
 def _converted(tu: Unit, fu: Unit) -> Dict[str, np.ndarray]:
     out = {}
+    if fu.kind == "param":
+        return {"value": tu.arrays["value"].reshape(
+            fu.arrays["value"].shape)}
     if fu.kind == "conv":
         k = tu.arrays["kernel"]
         if tu.kind == "dense":
@@ -199,7 +215,7 @@ def _converted(tu: Unit, fu: Unit) -> Dict[str, np.ndarray]:
 def convert_torch_zoo(
     state_dict,
     variables,
-    lookahead: int = 64,
+    lookahead: int = 160,
     allow_missing: Tuple[str, ...] = ("classifier",),
     verbose: bool = False,
 ) -> Tuple[Dict, List[str]]:
@@ -217,43 +233,58 @@ def convert_torch_zoo(
     fus = flax_units(variables)
 
     assignments: Dict[str, Tuple[Unit, Unit]] = {}
-    pending: List[Unit] = []
-    ti = 0
+    consumed = [False] * len(tus)
+    ti = 0          # scan frontier: units < ti are "seen"
+    last = -1       # index of the last matched torch unit
     skipped: List[str] = []
     for fu in fus:
-        if fu.kind == "leaf":
-            skipped.append(fu.name)
-            continue
-        match: Optional[Unit] = None
-        for i, tu in enumerate(pending):
-            if _convertible(tu, fu):
-                match = pending.pop(i)
-                break
-        if match is None:
+        match_i: Optional[int] = None
+        # 1. adjacency: the unit right after the last match — torch
+        # registers conv->bn (or bn->conv) pairs adjacently, and shape
+        # alone cannot tell same-width norm layers apart
+        j = last + 1
+        while j < len(tus) and consumed[j]:
+            j += 1
+        if j < len(tus) and j <= ti and _convertible(tus[j], fu):
+            match_i = j
+        # 2. seen-but-unconsumed pool, in order
+        if match_i is None:
+            for j in range(ti):
+                if not consumed[j] and _convertible(tus[j], fu):
+                    match_i = j
+                    break
+        # 3. scan ahead
+        if match_i is None:
             scanned = 0
             while ti < len(tus) and scanned <= lookahead:
-                tu = tus[ti]
+                j = ti
                 ti += 1
-                if _convertible(tu, fu):
-                    match = tu
-                    break
-                pending.append(tu)
+                if consumed[j]:
+                    continue  # taken via the adjacency fast path
                 scanned += 1
-        if match is None:
+                if _convertible(tus[j], fu):
+                    match_i = j
+                    break
+        if match_i is None:
             if any(s in fu.name for s in allow_missing):
                 skipped.append(fu.name)
                 continue
-            near = [u.name for u in pending[-4:]] + \
+            near = [u.name for i, u in enumerate(tus[:ti])
+                    if not consumed[i]][-4:] + \
                 [u.name for u in tus[ti:ti + 4]]
             raise ValueError(
                 f"No torch unit matches flax {fu.kind} '{fu.name}' "
                 f"(shape {fu.shape('kernel') or fu.shape('scale')}); "
                 f"candidates near cursor: {near}")
+        consumed[match_i] = True
+        last = match_i
+        match = tus[match_i]
         assignments[fu.name] = (match, fu)
         if verbose:
             print(f"  {match.name} -> {fu.name} [{fu.kind}]")
 
-    leftovers = pending + tus[ti:]
+    leftovers = [u for i, u in enumerate(tus)
+                 if not consumed[i]]
     real_left = [u for u in leftovers
                  if not any(s in u.name for s in allow_missing)]
     if real_left:
@@ -283,6 +314,11 @@ def _apply(variables, assignments):
     for name, (tu, fu) in assignments.items():
         path = tuple(name.split("/"))
         conv = _converted(tu, fu)
+        if fu.kind == "param":
+            # path includes the leaf name itself
+            set_path(var["params"], path[:-1], path[-1], conv["value"],
+                     fu.arrays["value"])
+            continue
         for key in ("kernel", "bias", "scale"):
             if key in conv and fu.arrays.get(key) is not None:
                 set_path(var["params"], path, key, conv[key], fu.arrays[key])

@@ -47,7 +47,8 @@ def _torch_eval_features(tmodel, x_nchw):
     with torch.no_grad():
         out = tmodel(torch.from_numpy(x_nchw))
     if isinstance(out, (tuple, list)):
-        out = out[0]
+        # hacnn eval returns (x_global, x_local); our model concatenates
+        out = torch.cat(list(out), 1)
     return out.numpy()
 
 
@@ -72,9 +73,16 @@ def _convert_and_compare(ref_file, ref_factory, our_name, hw=(64, 32),
     h, w = hw
     mod = _load_ref_model_module(ref_file, f"ref_{ref_factory}")
     torch.manual_seed(0)
-    tmodel = getattr(mod, ref_factory)(
-        num_classes=num_classes, loss="softmax", pretrained=False,
-        **factory_kw)
+    if ref_factory.startswith("class:"):
+        # reference files that export only the nn.Module class (hacnn,
+        # mudeep — never registered in the reference factory either)
+        tmodel = getattr(mod, ref_factory[len("class:"):])(
+            num_classes=num_classes, loss="softmax", use_gpu=False,
+            **factory_kw)
+    else:
+        tmodel = getattr(mod, ref_factory)(
+            num_classes=num_classes, loss="softmax", pretrained=False,
+            **factory_kw)
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, 3, h, w), np.float32)
     _mutate_running_stats(tmodel, x)
@@ -148,6 +156,13 @@ def test_apply_pretrained_zoo_path(tmp_path, monkeypatch):
     ("inceptionv4.py", "inceptionv4", "inceptionv4", (160, 96)),
     ("inceptionresnetv2.py", "inceptionresnetv2", "inceptionresnetv2",
      (160, 96)),
+    ("mlfn.py", "mlfn", "mlfn", (64, 32)),
+    ("hacnn.py", "class:HACNN", "hacnn", (160, 64)),
+    ("mudeep.py", "class:MuDeep", "mudeep", (256, 128)),
+    ("resnetmid.py", "resnet50mid", "resnet50mid", (64, 32)),
+    ("pcb.py", "pcb_p6", "pcb_p6", (96, 48)),
+    ("resnet_ibn_a.py", "resnet50_ibn_a", "resnet50_ibn_a", (64, 32)),
+    ("resnet_ibn_b.py", "resnet50_ibn_b", "resnet50_ibn_b", (64, 32)),
 ])
 def test_zoo_converter_parity(ref_file, ref_factory, our_name, hw):
     _convert_and_compare(ref_file, ref_factory, our_name, hw=hw)

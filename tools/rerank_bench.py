@@ -45,27 +45,32 @@ def main():
 
     qg, qq, gg = sqd(Q, G), sqd(Q, Q), sqd(G, G)
 
-    j, _ = _rerank_core(qg, qq, gg, args.k1, args.k2)
-    float(jnp.sum(j))  # compile + sync (scalar pull; see CLAUDE.md)
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        j, _ = _rerank_core(qg, qq, gg, args.k1, args.k2)
-    float(jnp.sum(j))
-    dt = (time.perf_counter() - t0) / args.reps
-    print(f"k-reciprocal device ({args.num_q}x{args.num_g}, "
-          f"k1={args.k1} k2={args.k2}): {dt:.2f} s/call "
-          f"(reference CPU loop: ~89 s at this scale)")
+    for bf16 in (False, True):
+        j, _ = _rerank_core(qg, qq, gg, args.k1, args.k2, bf16)
+        float(jnp.sum(j))  # compile + sync (scalar pull; see CLAUDE.md)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            j, _ = _rerank_core(qg, qq, gg, args.k1, args.k2, bf16)
+        float(jnp.sum(j))
+        dt = (time.perf_counter() - t0) / args.reps
+        tag = "bf16 minsum" if bf16 else "f32 exact"
+        print(f"k-reciprocal device [{tag}] ({args.num_q}x{args.num_g}, "
+              f"k1={args.k1} k2={args.k2}): {dt:.2f} s/call "
+              f"(reference CPU loop: ~89 s at this scale)")
 
     Qn = Q / jnp.linalg.norm(Q, axis=1, keepdims=True)
     Gn = G / jnp.linalg.norm(G, axis=1, keepdims=True)
-    s = _gnn_rerank_scores(Qn, Gn, 26, 7)
-    float(jnp.sum(s))
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        s = _gnn_rerank_scores(Qn, Gn, 26, 7)
-    float(jnp.sum(s))
-    dt = (time.perf_counter() - t0) / args.reps
-    print(f"gnn re-rank scores device (k1=26 k2=7): {dt * 1e3:.0f} ms/call")
+    for track in (False, True):
+        s = _gnn_rerank_scores(Qn, Gn, 26, 7, track)
+        float(jnp.sum(s))
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            s = _gnn_rerank_scores(Qn, Gn, 26, 7, track)
+        float(jnp.sum(s))
+        dt = (time.perf_counter() - t0) / args.reps
+        tag = "transpose-free" if track else "A+A.T"
+        print(f"gnn re-rank scores device [{tag}] (k1=26 k2=7): "
+              f"{dt * 1e3:.0f} ms/call")
 
 
 if __name__ == "__main__":
