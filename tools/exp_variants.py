@@ -76,6 +76,94 @@ def run_remat(batch):
     time_step(eng, eng._build_train_step(), imgs, pids, "remat-all", batch)
 
 
+def run_gradbar(batch):
+    """optimization_barrier between grads and the optimizer update:
+    round-3 probe — the profile shows 31.8 ms/step of dW+optimizer
+    fusions at ~45 TF/s while the bare dW dot sustains ~99 TF/s in a scan
+    chain; the barrier stops XLA fusing the SGD chain into the dW dots to
+    see whether the fusion (not the dot) is the slowdown."""
+    import optax
+
+    eng, imgs, pids = build(batch)
+    from ieee_tpu.engine.engine import TrainState
+
+    model = eng.model
+    tx = eng.optimizer
+    k_tfm = 1
+
+    def loss_fn(params, batch_stats, im, pids):
+        out, new_stats = eng._forward_train(params, batch_stats, im)
+        loss, metrics = eng.compute_loss(out, pids)
+        return loss, (metrics, new_stats)
+
+    def step(state, im, pids, key, lr, mask):
+        im = eng._transform_train(key, im)
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, im, pids)
+        grads = jax.lax.optimization_barrier(grads)  # <- the probe
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt_state, step=state.step + 1), metrics
+
+    step_fn = jax.jit(step)
+    time_step(eng, step_fn, imgs, pids, "grad-barrier", batch)
+
+
+def run_twostream(batch):
+    """Two independent half-batch grad computations inside one jit, grads
+    averaged, one optimizer update. Same FLOPs/traffic; the point is
+    scheduler freedom — the round-3 profile is flat with every class at
+    ~45-75% of its isolated-op rate, suggesting dependency stalls; two
+    streams let the MXU of one overlap the bandwidth-bound epilogues of
+    the other. BN stats per half (per-replica semantics)."""
+    import optax
+
+    eng, imgs, pids = build(batch)
+    from ieee_tpu.engine.engine import TrainState
+
+    tx = eng.optimizer
+    h = batch // 2
+
+    def loss_fn(params, batch_stats, im, pd):
+        out, new_stats = eng._forward_train(params, batch_stats, im)
+        loss, metrics = eng.compute_loss(out, pd)
+        return loss, (metrics, new_stats)
+
+    def step(state, im, pd, key, lr, mask):
+        im = eng._transform_train(key, im)
+        halves = [tuple(m[:h] for m in im), tuple(m[h:] for m in im)]
+        pds = [pd[:h], pd[h:]]
+        grads_acc = None
+        loss_acc = 0.0
+        new_stats = None
+        for s in range(2):
+            (loss, (metrics, st)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, halves[s], pds[s])
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads)
+            loss_acc = loss_acc + loss
+            new_stats = st if new_stats is None else jax.tree_util.tree_map(
+                lambda a, b: 0.5 * (a + b), new_stats, st)
+        grads = jax.tree_util.tree_map(lambda g: g * 0.5, grads_acc)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt_state, step=state.step + 1), \
+            {"loss": loss_acc * 0.5}
+
+    step_fn = jax.jit(step)
+    time_step(eng, step_fn, imgs, pids, "two-stream", batch)
+
+
 def run_gconv(batch):
     """3 sequential convs vs one grouped conv, chained N times in one jit."""
     k = jax.random.PRNGKey(0)
@@ -127,6 +215,10 @@ def main():
         run_remat(batch)
     if which in ("gconv", "all"):
         run_gconv(batch)
+    if which == "gradbar":
+        run_gradbar(batch)
+    if which == "twostream":
+        run_twostream(batch)
 
 
 if __name__ == "__main__":
