@@ -41,7 +41,7 @@ def _scatter_rows(indices, values, n):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int,
-                       track_transpose: bool = True):
+                       track_transpose: bool = False):
     query_num = X_q.shape[0]
     X_u = jnp.concatenate([X_q, X_g], axis=0)
     n = X_u.shape[0]
@@ -66,12 +66,14 @@ def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int,
         idx = initial_rank[:, :k2]  # (n, k2)
         vals = S[:, :k2]
         if track_transpose:
-            # transpose-free symmetrization (round-2 VERDICT item 6a: the
-            # (n, n) A + A.T was the measured binding cost): C = A + At is
-            # SYMMETRIC, so the next round's transpose is itself a
-            # gather-sum of C's columns — At_new = C @ W.T — and the
-            # strided full-matrix transpose never materializes. Exact f32,
-            # same FLOPs per gather as the row form.
+            # transpose-free symmetrization (round-2 VERDICT item 6a): C =
+            # A + At is SYMMETRIC, so the next round's transpose is itself
+            # a gather-sum of C's columns — At_new = C @ W.T — and the
+            # strided full-matrix transpose never materializes. Exact f32.
+            # MEASURED round 3 at Market scale: 736 ms vs 670 ms for the
+            # A+A.T form — the axis-1 gathers cost MORE than the transpose
+            # on this chip, so this stays the non-default variant
+            # (equivalence-tested; tools/rerank_bench.py times both).
             # initial At via a column scatter — no transpose at all
             rows = jnp.repeat(jnp.arange(n), initial_rank.shape[1])
             At = jnp.zeros((n, n), A.dtype).at[
@@ -110,7 +112,7 @@ def _gnn_rerank_scores(X_q, X_g, k1: int, k2: int,
 
 
 def gnn_reranking(X_q, X_g, k1: int = 26, k2: int = 7,
-                  track_transpose: bool = True):
+                  track_transpose: bool = False):
     """Returns the re-ranked gallery index list L (num_q, num_g), matching
     the reference CLI contract (``gnn_reranking.py:27-59``). Features should
     be L2-normalized (cosine similarity). ``track_transpose=False`` falls

@@ -95,9 +95,11 @@ def _rerank_core(q_g, q_q, g_g, k1: int, k2: int, minsum_bf16: bool = False):
 
     # jaccard over (query, all): minsum[i, g] = sum_k min(V[i,k], V[g,k]);
     # blocked so the broadcast-min-reduce stays a loop fusion.
-    # minsum_bf16 (opt-in, cfg.tpu.rerank_bf16): stream V in bf16 — halves
-    # the dominant (n, n)-sweep traffic at ~1e-3 relative error in the
-    # jaccard (breaks the 1e-4 oracle parity, hence not the default)
+    # minsum_bf16 (opt-in, cfg.tpu.rerank_bf16): stream V in bf16 during
+    # the sweep, ~1e-3 relative error in the jaccard (breaks the 1e-4
+    # oracle parity, hence not the default). MEASURED round 3 at Market
+    # scale: 1.51 s vs 1.56 s exact — the sweep is latency-not-bandwidth
+    # bound at this n, so the win is only ~3% (tools/rerank_bench.py)
     if minsum_bf16:
         V_min = V.astype(jnp.bfloat16)
     else:
