@@ -43,7 +43,7 @@ class CachedDataset:
         h, w = dataset.height, dataset.width
         self._shape = (n, m, h, w, 3)
 
-        sig = repr((type(dataset).__name__, self._shape,
+        sig = repr(("v2", type(dataset).__name__, self._shape,
                     dataset.data[0][0], dataset.data[-1][0]))
         key = hashlib.md5(sig.encode()).hexdigest()[:12]
         d = cache_dir if isinstance(cache_dir, str) and cache_dir else \

@@ -32,8 +32,12 @@ def _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal, pid_offset=0):
 
 
 def _render(path: str, height: int, width: int) -> np.ndarray:
-    """Deterministic pseudo-image from the path string."""
-    seed = abs(hash(path)) % (2**32)
+    """Deterministic pseudo-image from the path string (md5, not hash():
+    python string hashing is randomized per process, which broke decode
+    caches persisted across test processes)."""
+    import hashlib
+
+    seed = int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 256, size=(8, 4, 3), dtype=np.uint8)
     img = np.kron(base, np.ones((height // 8, width // 4, 1), dtype=np.uint8))

@@ -26,7 +26,7 @@ import numpy as np
 
 from .converter import convert_torch_trunk
 
-__all__ = ["convert_ieee_torch_checkpoint"]
+__all__ = ["convert_ieee_torch_checkpoint", "convert_pfnet_torch_checkpoint"]
 
 _MODAL = "RNT"
 
@@ -135,4 +135,84 @@ def convert_ieee_torch_checkpoint(
             "bias": np.stack(cbs),
         }
 
+    return params, stats
+
+
+def convert_pfnet_torch_checkpoint(
+    state_dict: Dict[str, Any], parts: int = 2,
+    layers: Tuple[int, ...] = (3, 4, 6, 3),
+) -> Tuple[Dict, Dict]:
+    """torch PFNET state_dict -> flax variables for ``models/pfnet.py``.
+
+    Mapping (reference ``torchreid/models/pfnet.py:299-457``):
+        backbone.{i}.*                  -> backbone_{i}/*  (trunk converter)
+        reduce_layer.{i}.layers.{0,1}   -> reduce_{i}/conv|bn
+        fc_{B}.{p}.0.{0,1}              -> fc_{B} stacked (P,768,256) + wide BN
+        classifier_{B}.{p}              -> classifier_{B} stacked (P,256,C)
+        classifier_all                  -> classifier_all (transposed)
+    Branches are mapped BY NAME (the reference registers fc_RGB, fc_TI,
+    fc_NI, fc_RT, fc_RN in a different order than it uses them)."""
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv_kernel(w):
+        return np.transpose(_np(w), (2, 3, 1, 0))
+
+    for i in range(3):
+        t_params, t_stats = convert_torch_trunk(
+            sd, block="bottleneck", layers=tuple(layers),
+            prefix=f"backbone.{i}.",
+        )
+        params[f"backbone_{i}"] = t_params
+        stats[f"backbone_{i}"] = t_stats
+
+    for i in range(5):
+        src = f"reduce_layer.{i}.layers"
+        params[f"reduce_{i}"] = {
+            "conv": {"kernel": conv_kernel(sd[f"{src}.0.weight"])},
+            "bn": {"scale": _np(sd[f"{src}.1.weight"]),
+                   "bias": _np(sd[f"{src}.1.bias"])},
+        }
+        stats[f"reduce_{i}"] = {
+            "bn": {"mean": _np(sd[f"{src}.1.running_mean"]),
+                   "var": _np(sd[f"{src}.1.running_var"])},
+        }
+
+    for b in ("RGB", "NI", "TI", "RT", "RN"):
+        ks, bs = [], []
+        bn = {k: [] for k in ("scale", "bias", "mean", "var")}
+        for p in range(parts):
+            ks.append(_np(sd[f"fc_{b}.{p}.0.0.weight"]).T)
+            bs.append(_np(sd[f"fc_{b}.{p}.0.0.bias"]))
+            bn["scale"].append(_np(sd[f"fc_{b}.{p}.0.1.weight"]))
+            bn["bias"].append(_np(sd[f"fc_{b}.{p}.0.1.bias"]))
+            bn["mean"].append(_np(sd[f"fc_{b}.{p}.0.1.running_mean"]))
+            bn["var"].append(_np(sd[f"fc_{b}.{p}.0.1.running_var"]))
+        params[f"fc_{b}"] = {
+            "kernel": np.stack(ks), "bias": np.stack(bs),
+            "bn": {"scale": np.concatenate(bn["scale"]),
+                   "bias": np.concatenate(bn["bias"])},
+        }
+        stats[f"fc_{b}"] = {
+            "bn": {"mean": np.concatenate(bn["mean"]),
+                   "var": np.concatenate(bn["var"])},
+        }
+        params[f"classifier_{b}"] = {
+            "kernel": np.stack([
+                _np(sd[f"classifier_{b}.{p}.weight"]).T
+                for p in range(parts)
+            ]),
+            "bias": np.stack([
+                _np(sd[f"classifier_{b}.{p}.bias"]) for p in range(parts)
+            ]),
+        }
+
+    params["classifier_all"] = {
+        "kernel": _np(sd["classifier_all.weight"]).T,
+        "bias": _np(sd["classifier_all.bias"]),
+    }
     return params, stats

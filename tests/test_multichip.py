@@ -138,6 +138,32 @@ def test_build_engine_wires_compiler_options(mesh8):
     eng._build_train_step()
 
 
+def test_build_engine_wires_round3_knobs(mesh8):
+    """cfg.tpu.rerank_bf16 / cfg.tpu.fused_eval reach the engine."""
+    from ieee_tpu.config import get_default_config
+    from ieee_tpu.engine import build_engine
+    from ieee_tpu.optim import build_optimizer as bo
+
+    cfg = get_default_config()
+    cfg.model.name = "resnet18"
+    cfg.loss.name = "softmax"
+    cfg.tpu.mesh_shape = [8]
+    cfg.tpu.rerank_bf16 = True
+    cfg.tpu.fused_eval = True
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False,
+                        dtype=cfg.tpu.compute_dtype)
+    eng = build_engine(cfg, dm, model, bo(optim="sgd", lr=0.01),
+                       lambda e: 0.01)
+    assert eng.rerank_bf16 is True
+    assert eng.fused_eval is True
+
+
 def test_compiler_options_without_equals_is_a_clear_error():
     """A cfg.tpu.compiler_options entry missing '=' must raise a ValueError
     naming the bad string, not an opaque dict-update error."""

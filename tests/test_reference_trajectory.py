@@ -425,6 +425,58 @@ def test_full_depth_single_step_loss_and_grad_parity(ref):
     assert cos > 0.995, f"global gradient cosine {cos}"
 
 
+def test_pfnet_eval_parity(ref):
+    """PFNet (the published RGBNT201 baseline): convert the reference's own
+    torch PFNET (refmodels.pfnet, random init + mutated BN stats) through
+    convert_pfnet_torch_checkpoint and assert eval fc_all (2560-d,
+    [TI, RT, RGB, RN, NI] concat order, pfnet.py:431) parity."""
+    import importlib
+
+    import torch
+
+    import jax
+
+    from ieee_tpu.models import build_model
+    from ieee_tpu.models.ieee_converter import convert_pfnet_torch_checkpoint
+
+    ref_resnet = importlib.import_module("refmodels.resnet")
+    ref_pfnet = importlib.import_module("refmodels.pfnet")
+
+    def backbone_no_dl(num_classes, pretrained=True, **kw):
+        return ref_resnet.resnet50backbone(num_classes, pretrained=False,
+                                           **kw)
+
+    orig = ref_pfnet.resnet50backbone
+    ref_pfnet.resnet50backbone = backbone_no_dl
+    try:
+        torch.manual_seed(2)
+        tmodel = ref_pfnet.PFNET(num_classes=NUM_CLASSES, loss="softmax",
+                                 block=None)
+    finally:
+        ref_pfnet.resnet50backbone = orig
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.standard_normal((2, 3, H, W)).astype(np.float32) * 0.1
+            for _ in range(3)]
+    timgs = [torch.tensor(m) for m in imgs]
+    tmodel.train()
+    with torch.no_grad():
+        tmodel(timgs)  # mutate BN running stats off init
+    tmodel.eval()
+    with torch.no_grad():
+        want = tmodel(timgs).numpy()
+
+    model = build_model("pfnet", num_classes=NUM_CLASSES, loss="softmax",
+                        pretrained=False, dtype="float32")
+    params, stats = convert_pfnet_torch_checkpoint(tmodel.state_dict())
+    jimgs = tuple(np.transpose(m, (0, 2, 3, 1)) for m in imgs)
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jimgs, train=False),
+        np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
 def test_training_trajectory_matches_reference(ref):
     import torch
 
