@@ -29,6 +29,7 @@ Layout rules applied per unit: conv OIHW->HWIO; depthwise conv
 
 from __future__ import annotations
 
+import re
 import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -158,6 +159,20 @@ def flax_units(variables) -> List[Unit]:
 # ----------------------------------------------------------------------
 # compatibility + conversion
 # ----------------------------------------------------------------------
+def _tokens(name: str) -> frozenset:
+    """Lower-cased alphabetic tokens of a unit name ('fm_conv3' ->
+    {fm, conv}; 'block3/downsample' -> {block, downsample}). Digits are
+    deliberately dropped: positional indices ('conv2.3' vs 'conv2_3_2')
+    collide coincidentally across architectures, while word tokens mirror
+    the reference's module names. Used only as a tie-break between
+    structurally valid candidates when shapes alone are ambiguous."""
+    return frozenset(re.findall(r"[a-z]+", name.lower()))
+
+
+def _name_score(tu: Unit, fu: Unit) -> int:
+    return len(_tokens(tu.name) & _tokens(fu.name))
+
+
 def _convertible(tu: Unit, fu: Unit) -> bool:
     """Can torch unit ``tu`` fill flax unit ``fu`` exactly (shape-wise)?"""
     if fu.kind in ("conv", "dense") and tu.kind in ("conv", "dense"):
@@ -241,18 +256,37 @@ def convert_torch_zoo(
         match_i: Optional[int] = None
         # 1. adjacency: the unit right after the last match — torch
         # registers conv->bn (or bn->conv) pairs adjacently, and shape
-        # alone cannot tell same-width norm layers apart
+        # alone cannot tell same-width norm layers apart. Peeking is
+        # limited to seen units plus the frontier itself; a frontier
+        # adjacency match advances the frontier so chains of successors
+        # (conv -> bn -> next conv at cell starts, nasnet's factorized
+        # reduce -> final_path_bn) stay adjacent without ever jumping
+        # blindly ahead.
+        adj_i: Optional[int] = None
         j = last + 1
         while j < len(tus) and consumed[j]:
             j += 1
         if j < len(tus) and j <= ti and _convertible(tus[j], fu):
-            match_i = j
+            adj_i = j
         # 2. seen-but-unconsumed pool, in order
-        if match_i is None:
-            for j in range(ti):
-                if not consumed[j] and _convertible(tus[j], fu):
-                    match_i = j
-                    break
+        pool_i: Optional[int] = None
+        for j in range(ti):
+            if j != adj_i and not consumed[j] and _convertible(tus[j], fu):
+                pool_i = j
+                break
+        # Adjacency wins by default; a pool candidate overrides it only
+        # when its name-token overlap is strictly better (mlfn executes
+        # fm_conv3 before downsample while torch registers fsm ->
+        # downsample adjacently — shapes collide, names don't).
+        if adj_i is not None and pool_i is not None:
+            match_i = (pool_i if _name_score(tus[pool_i], fu)
+                       > _name_score(tus[adj_i], fu) else adj_i)
+        elif adj_i is not None:
+            match_i = adj_i
+        elif pool_i is not None:
+            match_i = pool_i
+        if match_i == adj_i and match_i == ti:
+            ti = match_i + 1
         # 3. scan ahead
         if match_i is None:
             scanned = 0

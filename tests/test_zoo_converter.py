@@ -163,6 +163,9 @@ def test_apply_pretrained_zoo_path(tmp_path, monkeypatch):
     ("pcb.py", "pcb_p6", "pcb_p6", (96, 48)),
     ("resnet_ibn_a.py", "resnet50_ibn_a", "resnet50_ibn_a", (64, 32)),
     ("resnet_ibn_b.py", "resnet50_ibn_b", "resnet50_ibn_b", (64, 32)),
+    # odd spatial dims on purpose: stresses the z-pad/crop reduction-cell
+    # semantics (ZeroPad2d((1,0,1,0)) + [1:,1:] crops)
+    ("nasnet.py", "nasnetamobile", "nasnetamobile", (128, 64)),
 ])
 def test_zoo_converter_parity(ref_file, ref_factory, our_name, hw):
     _convert_and_compare(ref_file, ref_factory, our_name, hw=hw)
