@@ -13,32 +13,65 @@ import numpy as np
 from ..base import ImageDataset, MultiModalImageDataset, VideoDataset
 
 
-def _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal, pid_offset=0):
+def _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal,
+                pid_offset=0, scheme="synthetic"):
     data = []
     for pid in range(num_pids):
         for j in range(imgs_per_pid):
             camid = int(rng.integers(0, num_cams))
             key = int(rng.integers(0, 2**31))
             if num_modal == 1:
-                data.append((f"synthetic://{pid + pid_offset}/{j}/{key}",
+                data.append((f"{scheme}://{pid + pid_offset}/{j}/{key}",
                              pid + pid_offset, camid))
             else:
                 paths = [
-                    f"synthetic://{pid + pid_offset}/{j}/{key}/{m}"
+                    f"{scheme}://{pid + pid_offset}/{j}/{key}/{m}"
                     for m in range(num_modal)
                 ]
                 data.append((paths, pid + pid_offset, camid))
     return data
 
 
+def _md5_seed(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def _render(path: str, height: int, width: int) -> np.ndarray:
     """Deterministic pseudo-image from the path string (md5, not hash():
     python string hashing is randomized per process, which broke decode
-    caches persisted across test processes)."""
-    import hashlib
+    caches persisted across test processes).
 
-    seed = int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
-    rng = np.random.default_rng(seed)
+    Two schemes:
+
+    * ``synthetic://pid/j/key[/m]`` — every image iid random (throughput /
+      pipeline tests; retrieval metrics are chance by design).
+    * ``synthetic-corr://pid/j/key[/m]`` — the 16x8 base pattern is seeded
+      by (pid, modality) only; each image then gets a per-image "camera
+      effect" (random per-channel gain/offset, horizontal roll, noise)
+      seeded by the full path. Same-identity images share structure but
+      NOT raw pixels, so retrieval with untrained features starts near
+      chance yet is LEARNABLE — end-to-end training runs show real mAP
+      convergence (the stand-in for the license-gated RGBNT201 protocol).
+    """
+    rng = np.random.default_rng(_md5_seed(path))
+    if path.startswith("synthetic-corr://"):
+        parts = path[len("synthetic-corr://"):].split("/")
+        pid = parts[0]
+        modal = parts[3] if len(parts) > 3 else "0"
+        base_rng = np.random.default_rng(_md5_seed(f"corr-id/{pid}/{modal}"))
+        base = base_rng.integers(32, 224, size=(16, 8, 3), dtype=np.int16)
+        img = np.kron(base, np.ones((-(-height // 16), -(-width // 8), 1),
+                                    dtype=np.int16))
+        img = img[:height, :width].astype(np.float32)
+        # camera effect: per-channel affine + horizontal roll + noise
+        gain = rng.uniform(0.4, 1.6, size=(1, 1, 3))
+        offset = rng.uniform(-48.0, 48.0, size=(1, 1, 3))
+        img = img * gain + offset
+        img = np.roll(img, rng.integers(-width // 4, width // 4 + 1), axis=1)
+        img += rng.normal(0.0, 24.0, size=img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8)
     base = rng.integers(0, 256, size=(8, 4, 3), dtype=np.uint8)
     img = np.kron(base, np.ones((height // 8, width // 4, 1), dtype=np.uint8))
     noise = rng.integers(0, 32, size=(height, width, 3), dtype=np.uint8)
@@ -51,14 +84,18 @@ class _SyntheticMixin:
 
 
 class Synthetic(_SyntheticMixin, ImageDataset):
-    """Single-modal synthetic dataset."""
+    """Single-modal synthetic dataset. ``correlated=True`` makes
+    same-identity images share appearance (learnable retrieval)."""
 
     def __init__(self, root="", num_pids=16, imgs_per_pid=8, num_cams=4,
-                 seed=0, **kwargs):
+                 seed=0, correlated=False, **kwargs):
         rng = np.random.default_rng(seed)
-        train = _make_split(rng, num_pids, imgs_per_pid, num_cams, 1)
-        query = _make_split(rng, num_pids // 2, 2, num_cams, 1)
-        gallery = _make_split(rng, num_pids // 2, 4, num_cams, 1)
+        scheme = "synthetic-corr" if correlated else "synthetic"
+        train = _make_split(rng, num_pids, imgs_per_pid, num_cams, 1,
+                            scheme=scheme)
+        query = _make_split(rng, num_pids // 2, 2, num_cams, 1, scheme=scheme)
+        gallery = _make_split(rng, num_pids // 2, 4, num_cams, 1,
+                              scheme=scheme)
         kwargs.setdefault("verbose", False)
         super().__init__(train, query, gallery, **kwargs)
 
@@ -91,13 +128,19 @@ class SyntheticVideo(_SyntheticMixin, VideoDataset):
 
 
 class SyntheticMM(_SyntheticMixin, MultiModalImageDataset):
-    """3-modal (R/N/T-style) synthetic dataset."""
+    """3-modal (R/N/T-style) synthetic dataset. ``correlated=True`` makes
+    same-identity images share per-modality appearance (learnable
+    retrieval; the end-to-end TPU convergence run uses this)."""
 
     def __init__(self, root="", num_pids=16, imgs_per_pid=8, num_cams=4,
-                 num_modal=3, seed=0, **kwargs):
+                 num_modal=3, seed=0, correlated=False, **kwargs):
         rng = np.random.default_rng(seed)
-        train = _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal)
-        query = _make_split(rng, num_pids // 2, 2, num_cams, num_modal)
-        gallery = _make_split(rng, num_pids // 2, 4, num_cams, num_modal)
+        scheme = "synthetic-corr" if correlated else "synthetic"
+        train = _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal,
+                            scheme=scheme)
+        query = _make_split(rng, num_pids // 2, 2, num_cams, num_modal,
+                            scheme=scheme)
+        gallery = _make_split(rng, num_pids // 2, 4, num_cams, num_modal,
+                              scheme=scheme)
         kwargs.setdefault("verbose", False)
         super().__init__(train, query, gallery, **kwargs)

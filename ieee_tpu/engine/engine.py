@@ -546,6 +546,9 @@ class Engine:
         print("** Results **")
         print(f"mAP: {mAP:.1%}")
         print("CMC curve")
+        # ranks beyond the gallery size are unattainable (tiny smoke-test
+        # galleries); report only what the CMC covers
+        ranks = [r for r in ranks if r <= len(cmc)]
         for r in ranks:
             print(f"Rank-{r:<3}: {cmc[r - 1]:.1%}")
         self._log_metrics({

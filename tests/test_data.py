@@ -31,6 +31,31 @@ def test_synthetic_mm_dataset():
     assert item["img"][0].shape == (64, 32, 3)
 
 
+def test_synthetic_correlated_identities_share_appearance():
+    """correlated=True: same-pid images cluster in pixel space (retrieval
+    is learnable — the end-to-end convergence run depends on this), while
+    the default iid scheme stays byte-identical to before."""
+    ds = init_image_dataset("synthetic_mm", mode="train", num_pids=8,
+                            imgs_per_pid=4, height=64, width=32,
+                            correlated=True)
+
+    def img(i, m=0):
+        rec = ds.train[i]
+        return ds._read_resized(rec[0][m]).astype(np.float32), rec[1]
+
+    a, pa = img(0)
+    b, pb = img(1)
+    c, pc = img(4)
+    assert pa == pb != pc
+    same = np.abs(a - b).mean()
+    diff = np.abs(a - c).mean()
+    assert same < 0.6 * diff, (same, diff)
+    # modalities of one identity are distinct renders
+    m0, _ = img(0, 0)
+    m1, _ = img(0, 1)
+    assert np.abs(m0 - m1).mean() > same
+
+
 def test_dataset_add_offsets_pids():
     a = init_image_dataset("synthetic", mode="train", num_pids=4,
                            imgs_per_pid=2, height=32, width=16)

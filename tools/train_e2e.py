@@ -1,0 +1,133 @@
+"""End-to-end IEEE convergence run on learnable synthetic data.
+
+Stand-in for the license-gated RGBNT201 protocol (BASELINE.md): trains the
+full-depth ieee3modalPart stack through the REAL product surface
+(``Engine.run``: loader -> device augmentation -> jitted train step ->
+checkpoint -> on-device eval) on the pid-correlated synthetic 3-modal
+dataset, and records the mAP/CMC trajectory. On a chance-level start
+(~1/85 gallery ids), a healthy stack must drive mAP toward 1.0 — this
+exercises every layer the reference's mainMultiModal.py run does
+(reference scripts/mainMultiModal.py:189-246) with real learning signal.
+
+Usage:
+    PYTHONPATH=/root/repo[:/root/.axon_site] python tools/train_e2e.py \
+        [--epochs 30] [--batch 128] [--pids 171] [--imgs-per-pid 8] \
+        [--height 256] [--width 128] [--eval-freq 10] \
+        [--out E2E_TRAIN_r03.json] [--save-dir /tmp/e2e_train]
+
+Defaults mirror bench.py's RGBNT201-shaped config so the TPU train-step
+compile is shared. Writes ONE JSON artifact with the per-epoch loss and
+per-eval mAP/CMC trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--pids", type=int, default=171)
+    ap.add_argument("--imgs-per-pid", type=int, default=8)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--eval-freq", type=int, default=10)
+    ap.add_argument("--backbone-layers", type=str, default="",
+                    help="e.g. 1,1,1,1 for the shallow CPU-testable stack")
+    ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--optim", type=str, default="sgd",
+                    help="sgd follows the reference RGBNT201 protocol "
+                         "(assumes warm start); adam suits from-scratch")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--decode-cache", action="store_true")
+    ap.add_argument("--out", type=str, default="E2E_TRAIN_r03.json")
+    ap.add_argument("--save-dir", type=str, default="/tmp/e2e_train")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke test)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ieee_tpu.data import ImageDataManager
+    from ieee_tpu.engine import Image3MEngine
+    from ieee_tpu.models import build_model
+    from ieee_tpu.optim import build_lr_scheduler, build_optimizer
+
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=args.height, width=args.width,
+        batch_size_train=args.batch, batch_size_test=100,
+        workers=args.workers, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=args.pids,
+        imgs_per_pid=args.imgs_per_pid, correlated=True, verbose=False,
+        seed=0, transforms=["random_flip"],
+        decode_cache=args.decode_cache,
+    )
+    model_kw = {}
+    if args.backbone_layers:
+        model_kw["backbone_layers"] = tuple(
+            int(x) for x in args.backbone_layers.split(","))
+    model = build_model("ieee3modalPart", num_classes=args.pids,
+                        loss="margin", pretrained=False, **model_kw)
+    lr = args.lr if args.lr is not None else (
+        0.001 if args.optim == "sgd" else 3e-4)
+    tx = build_optimizer(optim=args.optim, lr=lr, momentum=0.9,
+                         weight_decay=5e-4)
+    # reference protocol: multi_step x0.1 at [20, 40] (BASELINE.md)
+    sched = build_lr_scheduler("multi_step", stepsize=[20, 40], base_lr=lr)
+    compiler_options = None
+    if jax.default_backend() in ("tpu", "axon"):
+        compiler_options = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=sched, margin=1.0,
+                        seed=0, compiler_options=compiler_options)
+
+    t0 = time.time()
+    final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
+                          eval_freq=args.eval_freq, print_freq=5)
+    wall = time.time() - t0
+
+    # distill metrics.jsonl into the committed artifact
+    evals, losses = [], {}
+    with open(osp.join(args.save_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("kind") == "eval":
+                evals.append({k: rec[k] for k in rec
+                              if k in ("epoch", "mAP", "rank1", "rank5",
+                                       "rank10", "rank20")})
+            elif rec.get("kind") == "train_epoch":
+                losses[rec["epoch"]] = {
+                    k: round(v, 4) for k, v in rec.items()
+                    if isinstance(v, float) and k not in ("lr",)}
+    artifact = {
+        "protocol": {
+            "dataset": "synthetic_mm(correlated=True)",
+            "pids": args.pids, "imgs_per_pid": args.imgs_per_pid,
+            "hw": [args.height, args.width], "batch": args.batch,
+            "epochs": args.epochs,
+            "optim": f"{args.optim} lr {lr} wd 5e-4, multi_step [20,40]",
+            "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
+            "backend": jax.default_backend(),
+        },
+        "loss_per_epoch": losses,
+        "evals": evals,
+        "final_rank1": float(final_rank1),
+        "wall_s": round(wall, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"final_rank1": float(final_rank1),
+                      "final_mAP": evals[-1]["mAP"] if evals else None,
+                      "wall_s": round(wall, 1)}))
+
+
+if __name__ == "__main__":
+    main()
