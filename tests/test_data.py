@@ -32,28 +32,38 @@ def test_synthetic_mm_dataset():
 
 
 def test_synthetic_correlated_identities_share_appearance():
-    """correlated=True: same-pid images cluster in pixel space (retrieval
-    is learnable — the end-to-end convergence run depends on this), while
-    the default iid scheme stays byte-identical to before."""
-    ds = init_image_dataset("synthetic_mm", mode="train", num_pids=8,
-                            imgs_per_pid=4, height=64, width=32,
+    """correlated=True: identity structure survives the per-image camera
+    effects (retrieval is learnable — the end-to-end convergence run
+    depends on this) but raw per-image pixels do NOT trivially cluster
+    (untrained features start near chance)."""
+    ds = init_image_dataset("synthetic_mm", mode="train", num_pids=4,
+                            imgs_per_pid=16, height=64, width=32,
                             correlated=True)
 
     def img(i, m=0):
         rec = ds.train[i]
         return ds._read_resized(rec[0][m]).astype(np.float32), rec[1]
 
-    a, pa = img(0)
-    b, pb = img(1)
-    c, pc = img(4)
-    assert pa == pb != pc
-    same = np.abs(a - b).mean()
-    diff = np.abs(a - c).mean()
-    assert same < 0.6 * diff, (same, diff)
-    # modalities of one identity are distinct renders
-    m0, _ = img(0, 0)
-    m1, _ = img(0, 1)
-    assert np.abs(m0 - m1).mean() > same
+    # deterministic rendering
+    a0, _ = img(0)
+    a1, _ = img(0)
+    np.testing.assert_array_equal(a0, a1)
+
+    # averaging many renders integrates out the camera effects: per-pid
+    # mean images must cluster by identity (split-half distance << cross-pid)
+    by_pid = {}
+    for i in range(len(ds.train)):
+        x, pid = img(i)
+        by_pid.setdefault(pid, []).append(x)
+    pids = sorted(by_pid)
+    halves = {p: (np.mean(by_pid[p][:8], 0), np.mean(by_pid[p][8:], 0))
+              for p in pids}
+    same = np.mean([np.abs(halves[p][0] - halves[p][1]).mean() for p in pids])
+    cross = np.mean([np.abs(halves[p][0] - halves[q][0]).mean()
+                     for p in pids for q in pids if p != q])
+    # 8 renders/half only partially integrate out the roll: measured ratio
+    # ~0.64 (28.1 vs 43.5) — assert clear separation, not purity
+    assert same < 0.8 * cross, (same, cross)
 
 
 def test_dataset_add_offsets_pids():
