@@ -45,6 +45,12 @@ def main():
                     help="sgd follows the reference RGBNT201 protocol "
                          "(assumes warm start); adam suits from-scratch")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--weight-m", type=float, default=1.0)
+    ap.add_argument("--stepsize", type=str, default="20,40")
+    ap.add_argument("--variant", type=str, default="full",
+                    choices=["base", "cim", "cim3m", "full"],
+                    help="paper Table-3 ablation: base (no CIM/CA/REM), "
+                         "cim (+CIM+CA, no 3M), cim3m (+CIM+CA+3M), full")
     ap.add_argument("--decode-cache", action="store_true")
     ap.add_argument("--out", type=str, default="E2E_TRAIN_r03.json")
     ap.add_argument("--save-dir", type=str, default="/tmp/e2e_train")
@@ -75,6 +81,15 @@ def main():
     if args.backbone_layers:
         model_kw["backbone_layers"] = tuple(
             int(x) for x in args.backbone_layers.split(","))
+    # ablation variants mirror tools/ablation_sweep.py (paper Table 3)
+    if args.variant == "base":
+        model_kw.update(interaction=False, attention=False, using_REM=False)
+        args.weight_m = 0.0
+    elif args.variant == "cim":
+        model_kw.update(interaction=True, attention=True, using_REM=False)
+        args.weight_m = 0.0
+    elif args.variant == "cim3m":
+        model_kw.update(interaction=True, attention=True, using_REM=False)
     model = build_model("ieee3modalPart", num_classes=args.pids,
                         loss="margin", pretrained=False, **model_kw)
     lr = args.lr if args.lr is not None else (
@@ -82,12 +97,14 @@ def main():
     tx = build_optimizer(optim=args.optim, lr=lr, momentum=0.9,
                          weight_decay=5e-4)
     # reference protocol: multi_step x0.1 at [20, 40] (BASELINE.md)
-    sched = build_lr_scheduler("multi_step", stepsize=[20, 40], base_lr=lr)
+    stepsize = [int(x) for x in args.stepsize.split(",")]
+    sched = build_lr_scheduler("multi_step", stepsize=stepsize, base_lr=lr)
     compiler_options = None
     if jax.default_backend() in ("tpu", "axon"):
         compiler_options = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=sched, margin=1.0,
-                        seed=0, compiler_options=compiler_options)
+                        weight_m=args.weight_m, seed=0,
+                        compiler_options=compiler_options)
 
     t0 = time.time()
     final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
@@ -113,8 +130,10 @@ def main():
             "pids": args.pids, "imgs_per_pid": args.imgs_per_pid,
             "hw": [args.height, args.width], "batch": args.batch,
             "epochs": args.epochs,
-            "optim": f"{args.optim} lr {lr} wd 5e-4, multi_step [20,40]",
+            "optim": (f"{args.optim} lr {lr} wd 5e-4, "
+                      f"multi_step {stepsize}, weight_m {args.weight_m}"),
             "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
+            "variant": args.variant,
             "backend": jax.default_backend(),
         },
         "loss_per_epoch": losses,
