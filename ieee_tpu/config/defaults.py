@@ -160,6 +160,11 @@ def get_default_config() -> ConfigNode:
     # opt-in fused IEEE eval (folded-BN + Pallas part-pool,
     # models/fast_eval.py); plain flax measured faster on v5e, so off
     cfg.tpu.fused_eval = False
+    # tensor parallelism over a 2-D (data, model) mesh: wide layers shard
+    # over the "model" axis (parallel/mesh.py tp_shardings). Use with e.g.
+    # tpu.mesh_shape [4,2] tpu.mesh_axes "['data','model']". Requires
+    # sync_batchnorm. Beyond the reference (DataParallel only, SURVEY §2.8)
+    cfg.tpu.tensor_parallel = False
 
     return cfg
 

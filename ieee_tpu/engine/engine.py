@@ -62,7 +62,8 @@ class Engine:
                  use_gpu: bool = True, mesh=None, seed: int = 1,
                  variables=None, donate: bool = True,
                  sync_batchnorm: bool = True, compiler_options=None,
-                 rerank_bf16: bool = False, fused_eval: bool = False):
+                 rerank_bf16: bool = False, fused_eval: bool = False,
+                 tensor_parallel: bool = False):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -81,6 +82,17 @@ class Engine:
         self.rerank_bf16 = rerank_bf16
         # cfg.tpu.fused_eval: opt into the Pallas fused IEEE eval path
         self.fused_eval = fused_eval
+        # cfg.tpu.tensor_parallel: on a 2-D (data, model) mesh, shard wide
+        # layers over the model axis (parallel/mesh.py tp_shardings) —
+        # TPU-native capability beyond the reference's DataParallel
+        self.tensor_parallel = bool(
+            tensor_parallel and self.mesh.shape.get("model", 1) > 1
+        )
+        if self.tensor_parallel and not sync_batchnorm:
+            raise ValueError(
+                "tpu.tensor_parallel requires tpu.sync_batchnorm=True: the "
+                "per-replica-BN shard_map path assumes replicated params"
+            )
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -102,8 +114,15 @@ class Engine:
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
         )
-        # replicate over the mesh once; batches get sharded per step
-        self.state = replicate(self.mesh, state)
+        # place state on the mesh once; batches get sharded per step
+        if self.tensor_parallel:
+            from ..parallel import shard_tree, tp_shardings
+
+            self.state = shard_tree(
+                self.mesh, state, tp_shardings(self.mesh, state)
+            )
+        else:
+            self.state = replicate(self.mesh, state)
         self.rng = jax.random.PRNGKey(seed)
 
         self._train_step_fn: Optional[Callable] = None

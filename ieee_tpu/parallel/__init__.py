@@ -3,6 +3,8 @@ from .mesh import (
     batch_sharding,
     replicate_sharding,
     shard_batch,
+    shard_tree,
+    tp_shardings,
     replicate,
 )
 
@@ -12,4 +14,6 @@ __all__ = [
     "replicate_sharding",
     "shard_batch",
     "replicate",
+    "shard_tree",
+    "tp_shardings",
 ]

@@ -26,6 +26,8 @@ __all__ = [
     "replicate_sharding",
     "shard_batch",
     "replicate",
+    "tp_shardings",
+    "shard_tree",
 ]
 
 
@@ -70,3 +72,41 @@ def replicate(mesh: Mesh, tree):
     """device_put a pytree fully replicated over the mesh."""
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def tp_shardings(mesh: Mesh, tree, axis: str = "model", min_size: int = 512):
+    """Column-parallel tensor-parallel sharding rules for a param/state tree.
+
+    The reference has no tensor parallelism (its one strategy is
+    nn.DataParallel); this is TPU-native extra capability: on a 2-D
+    ``(data, model)`` mesh, wide layers are sharded over the ``model`` axis
+    and XLA/GSPMD inserts the collectives. The rule is purely structural —
+    any leaf whose LAST dim is >= ``min_size`` and divisible by the axis
+    size shards that dim (conv kernels [kh,kw,cin,cout] -> cout; Dense
+    [f,c] -> c; the matching BN/bias [c] vectors shard consistently);
+    everything else (small heads, odd class counts, scalars, optimizer
+    hyperparams) stays replicated. Correctness never depends on the rule:
+    GSPMD reshards as needed; the rule only decides what is distributed.
+    """
+    n = mesh.shape.get(axis, 1)
+
+    def rule(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if (
+            n > 1
+            and len(shape) >= 1
+            and shape[-1] >= min_size
+            and shape[-1] % n == 0
+        ):
+            spec = P(*([None] * (len(shape) - 1) + [axis]))
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def shard_tree(mesh: Mesh, tree, shardings):
+    """device_put a pytree leaf-by-leaf onto matching shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
+    )

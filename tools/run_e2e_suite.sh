@@ -1,0 +1,25 @@
+#!/bin/bash
+# End-to-end convergence suite on the real TPU: the full IEEE stack plus the
+# paper Table-3 ablation variants (reference *.pdf Table 3; variants defined
+# in tools/train_e2e.py / tools/ablation_sweep.py), each trained from scratch
+# through Engine.run on the learnable correlated synthetic 3-modal protocol.
+#
+# Protocol (CLAUDE.md round-3 session 2): 48 pids x 32 imgs, full depth
+# (3,4,6,3), amsgrad 3e-4 wd 5e-4, multi_step x0.1 at [80,120], 150 epochs,
+# decode cache on. One run at a time (1 CPU core).
+#
+# Usage: bash tools/run_e2e_suite.sh [epochs]
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+EPOCHS="${1:-150}"
+for v in full base cim cim3m; do
+  if [ "$v" = full ]; then out=E2E_TRAIN_r03.json; else out=E2E_ABLATION_${v}_r03.json; fi
+  echo "=== variant $v -> $out ($(date)) ==="
+  timeout 7200 python tools/train_e2e.py --variant "$v" \
+    --optim amsgrad --lr 3e-4 --stepsize 80,120 \
+    --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 10 \
+    --decode-cache --out "$out" --save-dir "/tmp/e2e_$v" \
+    || echo "variant $v FAILED rc=$?"
+done
+echo "=== suite done ($(date)) ==="
