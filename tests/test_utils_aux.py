@@ -157,3 +157,52 @@ def test_xplane_parser_on_synthetic_trace(tmp_path):
     rows = op_summary(trace_dir, plane_filter="", line_filter="")
     assert len(rows) > 0
     assert all("name" in r and "total_ms" in r for r in rows)
+
+
+def test_export_serving_roundtrip_single_stream():
+    """jax.export serving artifact (utils/export.py): serialized eval
+    forward with baked weights+preprocess matches the live model on the
+    same uint8 batch after a serialize/deserialize roundtrip."""
+    from ieee_tpu.data.transforms import build_transforms
+    from ieee_tpu.utils.export import export_eval_forward, load_exported
+
+    model = build_model("resnet18", num_classes=8, loss="softmax",
+                        pretrained=False)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=2,
+                                     height=32, width=16)
+    _, tfm = build_transforms(32, 16, transforms=None, verbose=False)
+    data = export_eval_forward(model, variables, batch=4, height=32,
+                               width=16, transform=tfm)
+    fn = load_exported(data)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (4, 32, 16, 3), dtype=np.uint8)
+    got = np.asarray(fn(imgs))
+    want = np.asarray(model.module.apply(variables, tfm(imgs), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # wrong signature is rejected, not silently recompiled
+    with pytest.raises(Exception):
+        fn(imgs[:2])
+
+
+def test_export_serving_multimodal():
+    from ieee_tpu.data.transforms import build_transforms
+    from ieee_tpu.utils.export import export_eval_forward, load_exported
+
+    model = build_model("ieee3modalPart", num_classes=8, loss="margin",
+                        pretrained=False, backbone_layers=(1, 1, 1, 1),
+                        parts=2)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=2,
+                                     height=64, width=32)
+    _, tfm = build_transforms(64, 32, transforms=None, verbose=False)
+    data = export_eval_forward(model, variables, batch=2, height=64,
+                               width=32, num_streams=3, transform=tfm)
+    fn = load_exported(data)
+    rng = np.random.default_rng(1)
+    imgs = tuple(rng.integers(0, 256, (2, 64, 32, 3), dtype=np.uint8)
+                 for _ in range(3))
+    got = np.asarray(fn(*imgs))
+    want = np.asarray(model.module.apply(
+        variables, tuple(tfm(m) for m in imgs), train=False))
+    # the IEEE model computes in bf16; the exported lowering fuses slightly
+    # differently from live jit -> one-ULP (0.0039) wiggle is expected
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-2)
