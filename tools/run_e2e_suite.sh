@@ -4,21 +4,24 @@
 # in tools/train_e2e.py / tools/ablation_sweep.py), each trained from scratch
 # through Engine.run on the learnable correlated synthetic 3-modal protocol.
 #
-# Protocol (CLAUDE.md round-3 session 2): 48 pids x 32 imgs, full depth
-# (3,4,6,3), amsgrad 3e-4 wd 5e-4, multi_step x0.1 at [80,120], 150 epochs,
-# decode cache on. One run at a time (1 CPU core).
+# Protocol: 48 pids x 32 imgs, full depth (3,4,6,3), amsgrad 3e-4 wd 5e-4,
+# multi_step x0.1 at [epochs/2, epochs*3/4], decode cache on. From-scratch
+# full-depth needs ~600 epochs (a 150-epoch probe left CE at chance while
+# the margin loss fell — MIGRATION.md "Trying the stack without licensed
+# data"). One run at a time (1 CPU core).
 #
 # Usage: bash tools/run_e2e_suite.sh [epochs]
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
-EPOCHS="${1:-150}"
+EPOCHS="${1:-600}"
+S1=$((EPOCHS / 2)); S2=$((EPOCHS * 3 / 4))
 for v in full base cim cim3m; do
   if [ "$v" = full ]; then out=E2E_TRAIN_r03.json; else out=E2E_ABLATION_${v}_r03.json; fi
   echo "=== variant $v -> $out ($(date)) ==="
   timeout 7200 python tools/train_e2e.py --variant "$v" \
-    --optim amsgrad --lr 3e-4 --stepsize 80,120 \
-    --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 10 \
+    --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
+    --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
     --decode-cache --out "$out" --save-dir "/tmp/e2e_$v" \
     || echo "variant $v FAILED rc=$?"
 done
