@@ -85,17 +85,22 @@ class _SyntheticMixin:
 
 class Synthetic(_SyntheticMixin, ImageDataset):
     """Single-modal synthetic dataset. ``correlated=True`` makes
-    same-identity images share appearance (learnable retrieval)."""
+    same-identity images share appearance (learnable retrieval).
+    ``heldout_test=True`` draws the query/gallery identities DISJOINT from
+    the train identities (open-set protocol, like the real re-ID datasets'
+    train/test splits); default False keeps the historical seen-id split."""
 
     def __init__(self, root="", num_pids=16, imgs_per_pid=8, num_cams=4,
-                 seed=0, correlated=False, **kwargs):
+                 seed=0, correlated=False, heldout_test=False, **kwargs):
         rng = np.random.default_rng(seed)
         scheme = "synthetic-corr" if correlated else "synthetic"
+        test_offset = num_pids if heldout_test else 0
         train = _make_split(rng, num_pids, imgs_per_pid, num_cams, 1,
                             scheme=scheme)
-        query = _make_split(rng, num_pids // 2, 2, num_cams, 1, scheme=scheme)
+        query = _make_split(rng, num_pids // 2, 2, num_cams, 1, scheme=scheme,
+                            pid_offset=test_offset)
         gallery = _make_split(rng, num_pids // 2, 4, num_cams, 1,
-                              scheme=scheme)
+                              scheme=scheme, pid_offset=test_offset)
         kwargs.setdefault("verbose", False)
         super().__init__(train, query, gallery, **kwargs)
 
@@ -130,17 +135,21 @@ class SyntheticVideo(_SyntheticMixin, VideoDataset):
 class SyntheticMM(_SyntheticMixin, MultiModalImageDataset):
     """3-modal (R/N/T-style) synthetic dataset. ``correlated=True`` makes
     same-identity images share per-modality appearance (learnable
-    retrieval; the end-to-end TPU convergence run uses this)."""
+    retrieval; the end-to-end TPU convergence run uses this).
+    ``heldout_test=True`` makes the query/gallery identities disjoint from
+    the train identities (open-set protocol; see ``Synthetic``)."""
 
     def __init__(self, root="", num_pids=16, imgs_per_pid=8, num_cams=4,
-                 num_modal=3, seed=0, correlated=False, **kwargs):
+                 num_modal=3, seed=0, correlated=False, heldout_test=False,
+                 **kwargs):
         rng = np.random.default_rng(seed)
         scheme = "synthetic-corr" if correlated else "synthetic"
+        test_offset = num_pids if heldout_test else 0
         train = _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal,
                             scheme=scheme)
         query = _make_split(rng, num_pids // 2, 2, num_cams, num_modal,
-                            scheme=scheme)
+                            scheme=scheme, pid_offset=test_offset)
         gallery = _make_split(rng, num_pids // 2, 4, num_cams, num_modal,
-                              scheme=scheme)
+                              scheme=scheme, pid_offset=test_offset)
         kwargs.setdefault("verbose", False)
         super().__init__(train, query, gallery, **kwargs)

@@ -85,9 +85,13 @@ class Engine:
         # cfg.tpu.tensor_parallel: on a 2-D (data, model) mesh, shard wide
         # layers over the model axis (parallel/mesh.py tp_shardings) —
         # TPU-native capability beyond the reference's DataParallel
-        self.tensor_parallel = bool(
-            tensor_parallel and self.mesh.shape.get("model", 1) > 1
-        )
+        if tensor_parallel and self.mesh.shape.get("model", 1) <= 1:
+            raise ValueError(
+                "tpu.tensor_parallel=True needs a mesh with a 'model' axis "
+                f"of size > 1, got mesh axes {dict(self.mesh.shape)}; set "
+                "cfg.tpu.mesh_shape/mesh_axes to a 2-D (data, model) layout"
+            )
+        self.tensor_parallel = bool(tensor_parallel)
         if self.tensor_parallel and not sync_batchnorm:
             raise ValueError(
                 "tpu.tensor_parallel requires tpu.sync_batchnorm=True: the "
@@ -115,20 +119,23 @@ class Engine:
             step=jnp.zeros((), jnp.int32),
         )
         # place state on the mesh once; batches get sharded per step
-        if self.tensor_parallel:
-            from ..parallel import shard_tree, tp_shardings
-
-            self.state = shard_tree(
-                self.mesh, state, tp_shardings(self.mesh, state)
-            )
-        else:
-            self.state = replicate(self.mesh, state)
+        self.state = self._place_state(state)
         self.rng = jax.random.PRNGKey(seed)
 
         self._train_step_fn: Optional[Callable] = None
         self._eval_step_fn: Optional[Callable] = None
         self._metrics_path: Optional[str] = None
         self._host_step = 0
+
+    def _place_state(self, state):
+        """Lay the train state out on the mesh: model-axis shardings under
+        tensor_parallel, plain replication otherwise. Also re-applied after
+        checkpoint resume (from_bytes returns host numpy leaves)."""
+        if self.tensor_parallel:
+            from ..parallel import shard_tree, tp_shardings
+
+            return shard_tree(self.mesh, state, tp_shardings(self.mesh, state))
+        return replicate(self.mesh, state)
 
     def _log_metrics(self, record: dict) -> None:
         if not self._metrics_path:
@@ -317,6 +324,7 @@ class Engine:
 
         if resume:
             self.state, start_epoch = resume_from_checkpoint(resume, self.state)
+            self.state = self._place_state(self.state)
 
         if test_only:
             return self.test(

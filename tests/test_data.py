@@ -66,6 +66,26 @@ def test_synthetic_correlated_identities_share_appearance():
     assert same < 0.8 * cross, (same, cross)
 
 
+def test_synthetic_heldout_test_split_is_disjoint():
+    """heldout_test=True: query/gallery identities are disjoint from train
+    (open-set protocol like the real re-ID datasets); query ids still all
+    appear in the gallery so CMC/mAP is well-defined."""
+    for name in ("synthetic", "synthetic_mm"):
+        tr = init_image_dataset(name, mode="train", num_pids=6,
+                                imgs_per_pid=4, height=32, width=16,
+                                correlated=True, heldout_test=True)
+        train_pids = {rec[1] for rec in tr.train}
+        q_pids = {rec[1] for rec in tr.query}
+        g_pids = {rec[1] for rec in tr.gallery}
+        assert train_pids == set(range(6))
+        assert q_pids and not (q_pids & train_pids)
+        assert q_pids <= g_pids
+        # default stays the historical seen-id split
+        tr2 = init_image_dataset(name, mode="train", num_pids=6,
+                                 imgs_per_pid=4, height=32, width=16)
+        assert {r[1] for r in tr2.query} <= {r[1] for r in tr2.train}
+
+
 def test_dataset_add_offsets_pids():
     a = init_image_dataset("synthetic", mode="train", num_pids=4,
                            imgs_per_pid=2, height=32, width=16)

@@ -251,6 +251,37 @@ def test_tensor_parallel_train_step_matches_replicated():
     np.testing.assert_allclose(loss_tp, loss_rep, rtol=2e-2)
 
 
+def test_resume_restores_mesh_placement():
+    """Checkpoint resume deserializes to host numpy leaves; the engine must
+    re-place them on the mesh (tensor-parallel shardings included) before
+    the next jitted step — engine.py Engine._place_state."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    eng = ImageSoftmaxEngine(dm, model,
+                             optimizer=build_optimizer(optim="sgd", lr=0.01),
+                             scheduler=lambda e: 0.01, mesh=_tp_mesh(),
+                             seed=0, tensor_parallel=True)
+    # simulate what utils.checkpoint.from_bytes hands back: host numpy leaves
+    host_state = jax.tree.map(np.asarray, eng.state)
+    placed = eng._place_state(host_state)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree_util.tree_leaves(placed.params)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any("model" in s for s in specs), specs[:5]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(placed.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(eng.state.params)[0]))
+
+
 def test_tensor_parallel_requires_sync_batchnorm():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")

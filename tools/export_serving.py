@@ -14,7 +14,6 @@ model) and returns eval features; preprocessing and weights are baked in.
 from __future__ import annotations
 
 import argparse
-import os.path as osp
 
 
 def main():
@@ -76,9 +75,14 @@ def main():
             for _ in range(streams)
         )
         feats = np.asarray(fn(*imgs))
-        ref = np.asarray(fn(*imgs))
-        assert np.array_equal(feats, ref)
-        print(f"roundtrip OK: features {feats.shape}, "
+        # verify against the LIVE model (baked preprocessing + weights),
+        # not just artifact determinism
+        ims = tuple(transform_te(m) for m in imgs)
+        live = model.module.apply(
+            variables, ims if streams > 1 else ims[0], train=False)
+        np.testing.assert_allclose(feats, np.asarray(live),
+                                   rtol=1e-4, atol=1e-4)
+        print(f"roundtrip OK vs live model: features {feats.shape}, "
               f"norm {float(np.linalg.norm(feats)):.3f}")
 
 

@@ -10,19 +10,31 @@
 # the margin loss fell — MIGRATION.md "Trying the stack without licensed
 # data"). One run at a time (1 CPU core).
 #
+# Two test protocols (tools/train_e2e.py --heldout-test):
+#   * heldout (open-set, like the real re-ID splits): query/gallery ids
+#     DISJOINT from train — the headline artifacts.
+#   * seen-id (closed-set): held-out IMAGES of train ids — measures learned
+#     camera-effect invariance; kept as one extra full run for comparison.
+#
 # Usage: bash tools/run_e2e_suite.sh [epochs]
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 EPOCHS="${1:-600}"
 S1=$((EPOCHS / 2)); S2=$((EPOCHS * 3 / 4))
-for v in full base cim cim3m; do
-  if [ "$v" = full ]; then out=E2E_TRAIN_r03.json; else out=E2E_ABLATION_${v}_r03.json; fi
+run() { # run <variant> <out> [extra args...]
+  local v="$1" out="$2"; shift 2
   echo "=== variant $v -> $out ($(date)) ==="
+  rm -rf "/tmp/e2e_$v"
   timeout 7200 python tools/train_e2e.py --variant "$v" \
     --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
     --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
-    --decode-cache --out "$out" --save-dir "/tmp/e2e_$v" \
+    --decode-cache --out "$out" --save-dir "/tmp/e2e_$v" "$@" \
     || echo "variant $v FAILED rc=$?"
-done
+}
+run full E2E_TRAIN_r03.json --heldout-test
+run base E2E_ABLATION_base_r03.json --heldout-test
+run cim E2E_ABLATION_cim_r03.json --heldout-test
+run cim3m E2E_ABLATION_cim3m_r03.json --heldout-test
+run full E2E_TRAIN_seen_r03.json
 echo "=== suite done ($(date)) ==="

@@ -52,6 +52,10 @@ def main():
                     help="paper Table-3 ablation: base (no CIM/CA/REM), "
                          "cim (+CIM+CA, no 3M), cim3m (+CIM+CA+3M), full")
     ap.add_argument("--decode-cache", action="store_true")
+    ap.add_argument("--heldout-test", action="store_true",
+                    help="query/gallery identities disjoint from train "
+                         "(open-set, like the real re-ID protocols); "
+                         "default evaluates held-out images of seen ids")
     ap.add_argument("--out", type=str, default="E2E_TRAIN_r03.json")
     ap.add_argument("--save-dir", type=str, default="/tmp/e2e_train")
     ap.add_argument("--cpu", action="store_true",
@@ -75,7 +79,7 @@ def main():
         num_instances=4, num_pids=args.pids,
         imgs_per_pid=args.imgs_per_pid, correlated=True, verbose=False,
         seed=0, transforms=["random_flip"],
-        decode_cache=args.decode_cache,
+        decode_cache=args.decode_cache, heldout_test=args.heldout_test,
     )
     model_kw = {}
     if args.backbone_layers:
@@ -106,12 +110,19 @@ def main():
                         weight_m=args.weight_m, seed=0,
                         compiler_options=compiler_options)
 
+    # metrics.jsonl is append-mode (Engine._log_metrics): clear any record
+    # of a prior run in this save_dir so the artifact holds ONE trajectory
+    stale = osp.join(args.save_dir, "metrics.jsonl")
+    if osp.exists(stale):
+        os.remove(stale)
+
     t0 = time.time()
     final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
                           eval_freq=args.eval_freq, print_freq=5)
     wall = time.time() - t0
 
-    # distill metrics.jsonl into the committed artifact
+    # distill metrics.jsonl into the committed artifact (drop the
+    # machine-dependent timing meters, keep losses/accuracies)
     evals, losses = [], {}
     with open(osp.join(args.save_dir, "metrics.jsonl")) as f:
         for line in f:
@@ -123,10 +134,13 @@ def main():
             elif rec.get("kind") == "train_epoch":
                 losses[rec["epoch"]] = {
                     k: round(v, 4) for k, v in rec.items()
-                    if isinstance(v, float) and k not in ("lr",)}
+                    if isinstance(v, float) and k not in
+                    ("lr", "batch_time_avg", "data_time_avg")}
     artifact = {
         "protocol": {
             "dataset": "synthetic_mm(correlated=True)",
+            "test_split": ("heldout ids (open-set)" if args.heldout_test
+                           else "held-out images of seen ids (closed-set)"),
             "pids": args.pids, "imgs_per_pid": args.imgs_per_pid,
             "hw": [args.height, args.width], "batch": args.batch,
             "epochs": args.epochs,
