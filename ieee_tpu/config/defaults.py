@@ -160,6 +160,11 @@ def get_default_config() -> ConfigNode:
     # opt-in fused IEEE eval (folded-BN + Pallas part-pool,
     # models/fast_eval.py); plain flax measured faster on v5e, so off
     cfg.tpu.fused_eval = False
+    # opt-in w8a8 post-training-quantized eval/serving path
+    # (models/int8_eval.py): int8 MXU measured +24-26% over bf16 on v5e;
+    # activation scales calibrate from the first eval batch. Validate the
+    # retrieval-quality delta per checkpoint before serving.
+    cfg.tpu.int8_eval = False
     # tensor parallelism over a 2-D (data, model) mesh: wide layers shard
     # over the "model" axis (parallel/mesh.py tp_shardings). Use with e.g.
     # tpu.mesh_shape [4,2] tpu.mesh_axes "['data','model']". Requires

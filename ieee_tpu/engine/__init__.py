@@ -53,6 +53,7 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
                 getattr(tpu, "compiler_options", [])),
             rerank_bf16=bool(getattr(tpu, "rerank_bf16", False)),
             fused_eval=bool(getattr(tpu, "fused_eval", False)),
+            int8_eval=bool(getattr(tpu, "int8_eval", False)),
             tensor_parallel=bool(getattr(tpu, "tensor_parallel", False)),
         )
     name = cfg.loss.name

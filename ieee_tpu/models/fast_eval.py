@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..ops.pallas.partpool import fold_bn, fused_partpool_project
 
 __all__ = ["build_fast_ieee_eval", "build_fast_ieee_eval_step",
-           "supports_fast_eval"]
+           "head_from_maps", "supports_fast_eval"]
 
 
 def supports_fast_eval(module) -> bool:
@@ -105,13 +105,14 @@ def _cim_apply(one, rest_sum, c):
     return f_one + gate * f_rest + f_rest
 
 
-def _fast_eval_core(module, variables, imgs):
+def head_from_maps(module, variables, maps):
+    """Folded-BN IEEE head on precomputed trunk feature maps (also the head
+    of the int8 PTQ path, models/int8_eval.py): CIM -> fused part-pool ->
+    REM -> per-part FC neck -> (B, 2304) concat features."""
     parts = module.parts
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     cim, reduce_folded, rem, fc_folded = _fold_head(params, stats, parts)
-
-    maps = module.apply(variables, imgs, train=False, return_featuremaps=True)
     maps = [m.astype(jnp.float32) for m in maps]
     cims = [
         _cim_apply(maps[0], maps[1] + maps[2], cim[0]),
@@ -136,6 +137,11 @@ def _fast_eval_core(module, variables, imgs):
         fc_flat.append(y.reshape(y.shape[0], -1))
     fc_R_all, fc_N_all, fc_T_all = fc_flat
     return jnp.concatenate([fc_T_all, fc_R_all, fc_N_all], axis=1)
+
+
+def _fast_eval_core(module, variables, imgs):
+    maps = module.apply(variables, imgs, train=False, return_featuremaps=True)
+    return head_from_maps(module, variables, maps)
 
 
 def build_fast_ieee_eval(model, variables) -> Callable:

@@ -30,6 +30,7 @@ def export_eval_forward(
     transform: Optional[Callable] = None,
     in_dtype=np.uint8,
     platforms: Optional[Sequence[str]] = None,
+    forward: Optional[Callable] = None,
 ) -> bytes:
     """Serialize ``features = model(preprocess(imgs))`` with weights baked in.
 
@@ -39,18 +40,22 @@ def export_eval_forward(
     ``num_streams > 1`` exports a multi-modal signature — a tuple of
     ``num_streams`` image batches, as the IEEE 3-modal model consumes.
     ``platforms`` pins the lowering platforms (e.g. ``["tpu"]``); default is
-    the current backend.
+    the current backend. ``forward`` overrides the serialized program (e.g.
+    the quantized ``models/int8_eval.export_forward_int8``); it must accept
+    the same ``*image_batches`` signature.
     """
     import jax
     from jax import export as jexport
 
-    def fwd(*imgs):
+    def default_fwd(*imgs):
         ims = tuple(
             transform(m) if transform is not None else m for m in imgs
         )
         if num_streams == 1:
             (ims,) = ims
         return model.module.apply(variables, ims, train=False)
+
+    fwd = forward if forward is not None else default_fwd
 
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), in_dtype)
     specs = (spec,) * num_streams

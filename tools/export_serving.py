@@ -29,6 +29,10 @@ def main():
                     help="force the CPU backend (artifact serves on CPU)")
     ap.add_argument("--roundtrip", action="store_true",
                     help="load the artifact back and check outputs match")
+    ap.add_argument("--int8", action="store_true",
+                    help="export the w8a8 PTQ forward (models/int8_eval.py) "
+                         "with quantized weights + calibrated activation "
+                         "scales baked in (int8 MXU on TPU)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -55,9 +59,23 @@ def main():
     _, transform_te = build_transforms(args.height, args.width,
                                        transforms=None, verbose=False)
     streams = 3 if "3modal" in args.model else 1
+    forward = None
+    if args.int8:
+        from ieee_tpu.models.int8_eval import export_forward_int8
+
+        rng = np.random.default_rng(1)
+        calib = tuple(
+            rng.integers(0, 256, (args.batch, args.height, args.width, 3),
+                         dtype=np.uint8)
+            for _ in range(streams)
+        )
+        forward = export_forward_int8(
+            model, variables, transform_te,
+            calib if streams > 1 else calib[0])
     data = export_eval_forward(
         model, variables, batch=args.batch, height=args.height,
         width=args.width, num_streams=streams, transform=transform_te,
+        forward=forward,
     )
     out = args.out or f"/tmp/{args.model}_eval.stablehlo"
     with open(out, "wb") as f:
@@ -75,13 +93,23 @@ def main():
             for _ in range(streams)
         )
         feats = np.asarray(fn(*imgs))
-        # verify against the LIVE model (baked preprocessing + weights),
-        # not just artifact determinism
-        ims = tuple(transform_te(m) for m in imgs)
-        live = model.module.apply(
-            variables, ims if streams > 1 else ims[0], train=False)
-        np.testing.assert_allclose(feats, np.asarray(live),
-                                   rtol=1e-4, atol=1e-4)
+        # verify against the LIVE forward (baked preprocessing + weights),
+        # not just artifact determinism; for --int8 the live program is
+        # the quantized forward itself
+        if forward is not None:
+            # int8: separate compilations can flip borderline requant
+            # roundings (±1 LSB cascades); compare by feature cosine
+            live = np.asarray(forward(*imgs), np.float32)
+            cos = (feats * live).sum(-1) / np.maximum(
+                np.linalg.norm(feats, axis=-1)
+                * np.linalg.norm(live, axis=-1), 1e-12)
+            assert cos.min() > 0.99, f"int8 roundtrip cosine {cos.min()}"
+        else:
+            ims = tuple(transform_te(m) for m in imgs)
+            live = model.module.apply(
+                variables, ims if streams > 1 else ims[0], train=False)
+            np.testing.assert_allclose(feats, np.asarray(live),
+                                       rtol=1e-4, atol=1e-4)
         print(f"roundtrip OK vs live model: features {feats.shape}, "
               f"norm {float(np.linalg.norm(feats)):.3f}")
 
