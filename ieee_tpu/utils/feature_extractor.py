@@ -31,7 +31,12 @@ class FeatureExtractor:
         pretrained: bool = True,
         seed: int = 0,
         verbose: bool = False,
+        int8: bool = False,
     ):
+        """``int8=True`` serves through the w8a8 PTQ path
+        (models/int8_eval.py, int8 MXU on TPU): activation scales calibrate
+        on the first batch; supported for ReIDResNet-style models without
+        an fc neck (falls back with a warning otherwise)."""
         model = build_model(model_name, num_classes=num_classes,
                             loss="softmax", pretrained=pretrained)
         variables = model.init_variables(jax.random.PRNGKey(seed), batch=2,
@@ -50,10 +55,32 @@ class FeatureExtractor:
         else:
             test_fn = jax.jit(lambda b: b.astype(np.float32) / 255.0)
 
-        @jax.jit
-        def forward(variables, batch_uint8):
-            return model.module.apply(variables, test_fn(batch_uint8),
-                                      train=False)
+        forward = None
+        if int8:
+            from ..models.fast_eval import supports_fast_eval
+            from ..models.int8_eval import (
+                build_int8_reid_eval_step,
+                supports_int8_eval,
+            )
+
+            # single-stream extractor: the ReIDResNet variant only (the
+            # 3-modal IEEE model takes an (R, N, T) tuple, not one batch)
+            if (supports_int8_eval(model.module)
+                    and not supports_fast_eval(model.module)):
+                step = build_int8_reid_eval_step(model, transform=test_fn)
+
+                def forward(variables, batch_uint8):
+                    return step(variables["params"],
+                                variables.get("batch_stats", {}),
+                                batch_uint8)
+            else:
+                print("WARN: int8=True unsupported for "
+                      f"{model_name}; using the plain forward")
+        if forward is None:
+            @jax.jit
+            def forward(variables, batch_uint8):
+                return model.module.apply(variables, test_fn(batch_uint8),
+                                          train=False)
 
         self.model = model
         self.variables = variables

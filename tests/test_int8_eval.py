@@ -107,6 +107,21 @@ def test_int8_ieee_eval_step_matches_plain():
     assert c.min() > 0.97, c
 
 
+def test_feature_extractor_int8():
+    from ieee_tpu.utils.feature_extractor import FeatureExtractor
+
+    fe = FeatureExtractor(model_name="resnet18", image_size=(32, 16),
+                          pretrained=False, int8=True)
+    fe32 = FeatureExtractor(model_name="resnet18", image_size=(32, 16),
+                            pretrained=False, seed=0)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (3, 32, 16, 3), dtype=np.uint8)
+    f = np.asarray(fe(batch))
+    g = np.asarray(fe32(batch))
+    assert f.shape == g.shape == (3, 512)
+    assert _cos(f, g).min() > 0.98
+
+
 def test_engine_dispatches_int8_eval():
     from ieee_tpu.data import ImageDataManager
     from ieee_tpu.engine.image.softmax import ImageSoftmaxEngine
