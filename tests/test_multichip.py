@@ -282,6 +282,26 @@ def test_resume_restores_mesh_placement():
         np.asarray(jax.tree_util.tree_leaves(eng.state.params)[0]))
 
 
+def test_tensor_parallel_requires_model_axis():
+    """tensor_parallel=True on a mesh without a model axis raises instead of
+    silently running replicated (review finding, engine.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    with pytest.raises(ValueError, match="model"):
+        ImageSoftmaxEngine(dm, model,
+                           optimizer=build_optimizer(optim="sgd", lr=0.01),
+                           scheduler=lambda e: 0.01,
+                           mesh=make_mesh([8], ("data",)),
+                           seed=0, tensor_parallel=True)
+
+
 def test_tensor_parallel_requires_sync_batchnorm():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
