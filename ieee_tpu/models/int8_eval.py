@@ -47,12 +47,11 @@ _EPS = 1e-5
 
 
 def supports_int8_eval(module) -> bool:
-    """IEEE full head (reuses the folded head) or a plain ReIDResNet
-    without fc neck; everything else falls back to the plain eval path."""
+    """IEEE full head (reuses the folded head) or a ReIDResNet (the fc512
+    neck runs folded-bf16); everything else falls back to the plain path."""
     if supports_fast_eval(module):
         return True
-    return (type(module).__name__ == "ReIDResNet"
-            and not getattr(module, "fc_dims", None))
+    return type(module).__name__ == "ReIDResNet"
 
 
 def _fold(p, s):
@@ -224,13 +223,28 @@ def build_int8_ieee_eval_step(model, transform=None) -> Callable:
     return step
 
 
+def _folded_fc_chain(params, stats, v):
+    """Eval-folded DenseBNReLU neck (models/common.py:126-151): Dense bias
+    and BatchNorm1d fold into one affine; compute stays bf16 like the flax
+    path. Identity when the model has no fc{i} layers."""
+    i = 0
+    v = v.astype(jnp.bfloat16)
+    while f"fc{i}" in params:
+        p, s = params[f"fc{i}"], stats[f"fc{i}"]
+        inv = jax.lax.rsqrt(s["bn"]["var"] + _EPS) * p["bn"]["scale"]
+        shift = p["bn"]["bias"] - s["bn"]["mean"] * inv
+        k = p["fc"]["kernel"] * inv[None, :]
+        b = p["fc"]["bias"] * inv + shift
+        v = jax.nn.relu(v @ k.astype(jnp.bfloat16) + b.astype(jnp.bfloat16))
+        i += 1
+    return v.astype(jnp.float32)
+
+
 def build_int8_reid_eval_step(model, transform=None) -> Callable:
-    """Engine-shaped int8 eval step for a plain ``ReIDResNet`` (no fc neck):
-    quantized trunk + f32 global average pool, matching the model's eval
-    output (models/resnet.py:261-284)."""
+    """Engine-shaped int8 eval step for a ``ReIDResNet``: quantized trunk +
+    f32 global average pool [+ folded-bf16 fc neck], matching the model's
+    eval output (models/resnet.py:261-284)."""
     module = model.module
-    if getattr(module, "fc_dims", None):
-        raise ValueError("int8 eval supports ReIDResNet without fc_dims")
     spec = (module.block, tuple(module.layers), module.last_stride)
     exec_ = make_trunk_exec(*spec)
     holder = {}
@@ -247,7 +261,8 @@ def build_int8_reid_eval_step(model, transform=None) -> Callable:
             def fn(params, batch_stats, imgs):
                 f = trunk_forward_int8(exec_, params["trunk"],
                                        batch_stats["trunk"], imgs, scales)
-                return jnp.mean(f.astype(jnp.float32), axis=(1, 2))
+                v = jnp.mean(f.astype(jnp.float32), axis=(1, 2))
+                return _folded_fc_chain(params, batch_stats, v)
 
             holder["fn"] = fn
         return holder["fn"](params, batch_stats, imgs)

@@ -35,8 +35,8 @@ class FeatureExtractor:
     ):
         """``int8=True`` serves through the w8a8 PTQ path
         (models/int8_eval.py, int8 MXU on TPU): activation scales calibrate
-        on the first batch; supported for ReIDResNet-style models without
-        an fc neck (falls back with a warning otherwise)."""
+        on the first batch; supported for ReIDResNet-style models
+        (falls back with a warning otherwise)."""
         model = build_model(model_name, num_classes=num_classes,
                             loss="softmax", pretrained=pretrained)
         variables = model.init_variables(jax.random.PRNGKey(seed), batch=2,

@@ -107,6 +107,27 @@ def test_int8_ieee_eval_step_matches_plain():
     assert c.min() > 0.97, c
 
 
+def test_int8_reid_fc_neck_matches_plain():
+    """fc512-style neck: quantized trunk + folded-bf16 DenseBNReLU chain."""
+    from ieee_tpu.models.base import ReIDModel
+    from ieee_tpu.models.resnet import ReIDResNet
+
+    module = ReIDResNet(num_classes=8, loss="softmax", block="basic",
+                        layers=(1, 1, 1, 1), fc_dims=[64])
+    model = ReIDModel(module=module, name="fc-test", num_classes=8,
+                      loss="softmax", num_streams=1, feature_dim=64)
+    assert supports_int8_eval(module)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=2,
+                                     height=64, width=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32, 3), jnp.float32)
+    step = build_int8_reid_eval_step(model)
+    feats = step(variables["params"], variables["batch_stats"], x)
+    plain = model.module.apply(variables, x, train=False)
+    assert feats.shape == plain.shape == (2, 64)
+    c = _cos(np.asarray(feats), np.asarray(plain))
+    assert c.min() > 0.97, c
+
+
 def test_feature_extractor_int8():
     from ieee_tpu.utils.feature_extractor import FeatureExtractor
 
