@@ -16,25 +16,48 @@
 #   * seen-id (closed-set): held-out IMAGES of train ids — measures learned
 #     camera-effect invariance; kept as one extra full run for comparison.
 #
+# Each variant runs under a stall watchdog: the axon tunnel can wedge
+# mid-run (observed 2026-08-17: client blocked in epoll, zero CPU accrual,
+# no log output) — 10 min of log silence kills the run and retries once.
+#
 # Usage: bash tools/run_e2e_suite.sh [epochs]
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
+export PYTHONUNBUFFERED=1  # log mtime doubles as the liveness signal
 EPOCHS="${1:-600}"
 S1=$((EPOCHS / 2)); S2=$((EPOCHS * 3 / 4))
-run() { # run <variant> <out> [extra args...]
-  local v="$1" out="$2"; shift 2
-  echo "=== variant $v -> $out ($(date)) ==="
-  rm -rf "/tmp/e2e_$v"
-  timeout 7200 python tools/train_e2e.py --variant "$v" \
-    --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
-    --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
-    --decode-cache --out "$out" --save-dir "/tmp/e2e_$v" "$@" \
-    || echo "variant $v FAILED rc=$?"
+run() { # run <tag> <variant> <out> [extra args...]
+  local tag="$1" v="$2" out="$3"; shift 3
+  local attempt rc age pid vlog="/tmp/e2e_${tag}_run.log"
+  for attempt in 1 2; do
+    echo "=== variant $tag -> $out attempt $attempt ($(date)) ==="
+    rm -rf "/tmp/e2e_$tag"
+    timeout 7200 python tools/train_e2e.py --variant "$v" \
+      --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
+      --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
+      --decode-cache --out "$out" --save-dir "/tmp/e2e_$tag" "$@" \
+      > "$vlog" 2>&1 &
+    pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      age=$(( $(date +%s) - $(stat -c %Y "$vlog" 2>/dev/null || echo 0) ))
+      if [ "$age" -gt 600 ]; then
+        echo "variant $tag attempt $attempt STALLED (${age}s log silence)"
+        kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$pid"; rc=$?
+    tail -40 "$vlog"
+    if [ -f "$out" ]; then echo "variant $tag OK (attempt $attempt)"; return 0; fi
+    echo "variant $tag attempt $attempt FAILED rc=$rc"
+  done
+  return 1
 }
-run full E2E_TRAIN_r03.json --heldout-test
-run base E2E_ABLATION_base_r03.json --heldout-test
-run cim E2E_ABLATION_cim_r03.json --heldout-test
-run cim3m E2E_ABLATION_cim3m_r03.json --heldout-test
-run full E2E_TRAIN_seen_r03.json
+run full full E2E_TRAIN_r03.json --heldout-test
+run base base E2E_ABLATION_base_r03.json --heldout-test
+run cim cim E2E_ABLATION_cim_r03.json --heldout-test
+run cim3m cim3m E2E_ABLATION_cim3m_r03.json --heldout-test
+run full_seen full E2E_TRAIN_seen_r03.json
 echo "=== suite done ($(date)) ==="
