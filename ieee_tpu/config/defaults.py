@@ -36,6 +36,11 @@ def get_default_config() -> ConfigNode:
     # tmp dir, or a directory path. Exact (caches _read_resized output);
     # covers the chip's step rate on decode-starved (few-core) hosts
     cfg.data.decode_cache = False
+    # whole train set as uint8 in device HBM; batches gather on device by
+    # sampler index (data/device_cache.py) — zero per-step host->device
+    # image traffic. For datasets that fit (~<=4 GB); incompatible with
+    # random_patch (host-state transform)
+    cfg.data.device_cache = False
     cfg.data.split_id = 0
     cfg.data.height = 256
     cfg.data.width = 128
@@ -192,6 +197,7 @@ def imagedata_kwargs(cfg: ConfigNode) -> dict:
         batch_size_test=cfg.test.batch_size,
         workers=cfg.data.workers,
         decode_cache=cfg.data.decode_cache,
+        device_cache=cfg.data.device_cache,
         num_instances=cfg.sampler.num_instances,
         num_cams=cfg.sampler.num_cams,
         num_datasets=cfg.sampler.num_datasets,

@@ -105,6 +105,7 @@ class ImageDataManager(DataManager):
         verbose=True,
         prefetch=2,
         decode_cache=False,
+        device_cache=False,
         **dataset_kwargs,
     ):
         super().__init__(
@@ -138,19 +139,35 @@ class ImageDataManager(DataManager):
             loader_trainset = CachedDataset(
                 trainset,
                 decode_cache if isinstance(decode_cache, str) else None)
-        self.train_loader = DataLoader(
-            loader_trainset,
-            build_train_sampler(
-                trainset.train, train_sampler,
-                batch_size=batch_size_train, num_instances=num_instances,
-                num_cams=num_cams, num_datasets=num_datasets, seed=seed,
-            ),
-            batch_size=batch_size_train,
-            drop_last=True,
-            workers=workers,
-            prefetch=prefetch,
-            host_transform=self.host_transform_tr,
+        train_sampler_obj = build_train_sampler(
+            trainset.train, train_sampler,
+            batch_size=batch_size_train, num_instances=num_instances,
+            num_cams=num_cams, num_datasets=num_datasets, seed=seed,
         )
+        if device_cache:
+            # whole train set as uint8 in HBM; batches gather on device
+            # (data/device_cache.py). RandomPatch needs host pixels per item.
+            if self.host_transform_tr is not None:
+                raise ValueError(
+                    "data.device_cache is incompatible with host-side "
+                    "transforms (random_patch); drop it or use decode_cache"
+                )
+            from .device_cache import DeviceCachedLoader
+
+            self.train_loader = DeviceCachedLoader(
+                loader_trainset, train_sampler_obj,
+                batch_size=batch_size_train, drop_last=True,
+            )
+        else:
+            self.train_loader = DataLoader(
+                loader_trainset,
+                train_sampler_obj,
+                batch_size=batch_size_train,
+                drop_last=True,
+                workers=workers,
+                prefetch=prefetch,
+                host_transform=self.host_transform_tr,
+            )
 
         # optional unlabeled target train loader (reference :231-270)
         self.train_loader_t = None

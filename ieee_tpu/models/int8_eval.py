@@ -161,7 +161,7 @@ def trunk_forward_int8(exec_, params, stats, x, scales: Dict[str, float]):
         w, b = _fold(p, s)
         sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
         wq = jnp.round(w / sw).astype(jnp.int8)
-        sx = scales[site] / 127.0
+        sx = max(scales[site], 1e-6) / 127.0  # all-zero site guard
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / sx)),
                       -127, 127).astype(jnp.int8)
         y32 = _conv_nhwc(xq, wq, strides, padding, jnp.int32)

@@ -86,6 +86,52 @@ def test_synthetic_heldout_test_split_is_disjoint():
         assert {r[1] for r in tr2.query} <= {r[1] for r in tr2.train}
 
 
+def test_device_cached_loader_matches_plain():
+    """data.device_cache: batches gathered from the HBM-resident cache are
+    identical to the host loader's (same sampler seed), and the loader
+    satisfies the DataLoader batch-dict contract."""
+    kw = dict(sources="synthetic_mm", height=32, width=16,
+              batch_size_train=8, batch_size_test=8, workers=0,
+              train_sampler="RandomIdentitySampler", num_instances=4,
+              num_pids=4, imgs_per_pid=8, verbose=False, seed=0)
+    dm_plain = ImageDataManager(**kw)
+    dm_dev = ImageDataManager(device_cache=True, **kw)
+    assert len(dm_dev.train_loader) == len(dm_plain.train_loader)
+    b1 = next(iter(dm_plain.train_loader))
+    b2 = next(iter(dm_dev.train_loader))
+    np.testing.assert_array_equal(b1["pid"], b2["pid"])
+    for m in range(3):
+        np.testing.assert_array_equal(b1["img"][m], np.asarray(b2["img"][m]))
+
+
+def test_device_cache_rejects_host_transform():
+    with pytest.raises(ValueError, match="device_cache"):
+        ImageDataManager(
+            sources="synthetic", height=32, width=16, batch_size_train=8,
+            batch_size_test=8, workers=0, num_pids=4, imgs_per_pid=4,
+            verbose=False, seed=0, device_cache=True,
+            transforms=["random_flip", "random_patch"])
+
+
+def test_engine_trains_with_device_cache():
+    from ieee_tpu.engine.image.softmax import ImageSoftmaxEngine
+    from ieee_tpu.models import build_model
+    from ieee_tpu.optim import build_optimizer
+
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, num_pids=4, imgs_per_pid=8,
+        verbose=False, seed=0, device_cache=True,
+        train_sampler="RandomIdentitySampler", num_instances=4)
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    eng = ImageSoftmaxEngine(dm, model,
+                             optimizer=build_optimizer(optim="sgd", lr=0.01),
+                             scheduler=lambda e: 0.01, seed=0)
+    eng.max_epoch = 1
+    eng.train(print_freq=100)
+
+
 def test_dataset_add_offsets_pids():
     a = init_image_dataset("synthetic", mode="train", num_pids=4,
                            imgs_per_pid=2, height=32, width=16)

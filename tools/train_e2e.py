@@ -52,6 +52,9 @@ def main():
                     help="paper Table-3 ablation: base (no CIM/CA/REM), "
                          "cim (+CIM+CA, no 3M), cim3m (+CIM+CA+3M), full")
     ap.add_argument("--decode-cache", action="store_true")
+    ap.add_argument("--device-cache", action="store_true",
+                    help="whole train set in device HBM; batches gather "
+                         "on device (kills per-step host->device transfer)")
     ap.add_argument("--heldout-test", action="store_true",
                     help="query/gallery identities disjoint from train "
                          "(open-set, like the real re-ID protocols); "
@@ -79,7 +82,8 @@ def main():
         num_instances=4, num_pids=args.pids,
         imgs_per_pid=args.imgs_per_pid, correlated=True, verbose=False,
         seed=0, transforms=["random_flip"],
-        decode_cache=args.decode_cache, heldout_test=args.heldout_test,
+        decode_cache=args.decode_cache, device_cache=args.device_cache,
+        heldout_test=args.heldout_test,
     )
     model_kw = {}
     if args.backbone_layers:
