@@ -36,7 +36,7 @@ run() { # run <tag> <variant> <out> [extra args...]
     timeout 7200 python tools/train_e2e.py --variant "$v" \
       --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
       --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
-      --decode-cache --out "$out" --save-dir "/tmp/e2e_$tag" "$@" \
+      --decode-cache --device-cache --out "$out" --save-dir "/tmp/e2e_$tag" "$@" \
       > "$vlog" 2>&1 &
     pid=$!
     while kill -0 "$pid" 2>/dev/null; do
