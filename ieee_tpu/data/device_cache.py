@@ -74,13 +74,34 @@ class DeviceCachedLoader:
             camids[i] = it["camid"]
             dsetids[i] = it.get("dsetid", 0)
             paths[i] = it["impath"]
-        # one-time ship to the backend's default device
-        self._cache = tuple(jnp.asarray(a) for a in imgs)
+        # one-time ship to the backend's default device, in bounded slabs:
+        # one ~150 MB asarray is a single huge PJRT transfer (the axon
+        # tunnel moves ~30 MB/s and has wedged on large one-shot buffers);
+        # slabs keep each transfer the size of a normal training batch and
+        # sync per slab so a stall surfaces as a slow ship, not a hang.
+        self._cache = tuple(self._ship(a) for a in imgs)
         self._multi = multi
         self._pids = pids
         self._camids = camids
         self._dsetids = dsetids
         self._paths = paths
+
+    @staticmethod
+    def _ship(a: np.ndarray, slab_bytes: int = 48 << 20):
+        import jax
+        import jax.numpy as jnp
+
+        row = a[0].nbytes if a.ndim > 1 else a.itemsize
+        rows = max(1, slab_bytes // max(row, 1))
+        if rows >= a.shape[0]:
+            out = jnp.asarray(a)
+            return out.block_until_ready()
+        slabs = []
+        for i in range(0, a.shape[0], rows):
+            s = jax.device_put(a[i:i + rows])
+            slabs.append(s.block_until_ready())
+        out = jnp.concatenate(slabs, axis=0)
+        return out.block_until_ready()
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
         buf: List[int] = []
