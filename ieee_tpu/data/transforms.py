@@ -82,10 +82,12 @@ def _color_jitter(key, x, brightness=0.2, contrast=0.15, saturation=0.0,
     """torchvision-style ColorJitter on [0,1] images (the reference uses
     brightness=0.2, contrast=0.15, saturation=0, hue=0 —
     ``transforms.py:299-302``). torchvision applies the enabled ops in a
-    random order per image; with <= 2 ops enabled (the reference config:
-    brightness + contrast) that order is drawn per image here too, exactly.
-    Divergence: with >= 3 ops enabled the order is fixed
-    brightness -> contrast -> saturation -> hue (documented in README)."""
+    uniformly random order per image (randperm) with one factor drawn per
+    op per call independent of the order; both are reproduced exactly here
+    for ANY number of enabled ops: factors are drawn once, the permutation
+    comes from an argsort of per-image uniforms, and each position selects
+    among the candidate op outputs branch-free (N^2 cheap elementwise
+    applications instead of N! traced branches — compile-friendly)."""
     b = x.shape[0]
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
@@ -120,13 +122,18 @@ def _color_jitter(key, x, brightness=0.2, contrast=0.15, saturation=0.0,
     if hue > 0:
         ops.append(_hue)
 
-    if len(ops) == 2:
-        # both orders share the same factor draws (torchvision's get_params
-        # draws one factor per op per call, independent of the order)
-        fwd = ops[1](ops[0](x))
-        rev = ops[0](ops[1](x))
-        flip = jax.random.bernoulli(k5, 0.5, (b, 1, 1, 1))
-        return jnp.where(flip, rev, fwd)
+    if len(ops) >= 2:
+        # per-image uniform permutation of the enabled ops (argsort of
+        # uniforms == randperm); at each position select the op output by
+        # index, branch-free
+        perm = jnp.argsort(jax.random.uniform(k5, (b, len(ops))), axis=1)
+        for p in range(len(ops)):
+            sel = perm[:, p][:, None, None, None]
+            out = ops[0](x)
+            for j in range(1, len(ops)):
+                out = jnp.where(sel == j, ops[j](x), out)
+            x = out
+        return x
     for op in ops:
         x = op(x)
     return x

@@ -415,6 +415,59 @@ def test_color_jitter_randomizes_two_op_order_per_image():
     assert is_fwd.any() and is_rev.any()
 
 
+def test_color_jitter_randomizes_three_op_order_per_image():
+    """With >= 3 enabled ops torchvision still applies a uniform random
+    permutation per image; every output must equal one of the 3! = 6
+    compositions (same factor draws), and over a batch all 6 appear."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ieee_tpu.data.transforms import _color_jitter, _rgb_to_gray
+
+    B = 96
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(B, 6, 4, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    bright = contr = sat = 0.5
+    out = np.asarray(_color_jitter(key, x, brightness=bright, contrast=contr,
+                                   saturation=sat, hue=0))
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    bf = jax.random.uniform(k1, (B, 1, 1, 1), minval=1 - bright,
+                            maxval=1 + bright)
+    cf = jax.random.uniform(k2, (B, 1, 1, 1), minval=1 - contr,
+                            maxval=1 + contr)
+    sf = jax.random.uniform(k3, (B, 1, 1, 1), minval=1 - sat, maxval=1 + sat)
+
+    def do_b(v):
+        return jnp.clip(v * bf, 0.0, 1.0)
+
+    def do_c(v):
+        gray = _rgb_to_gray(v).mean(axis=(1, 2), keepdims=True)
+        return jnp.clip((v - gray) * cf + gray, 0.0, 1.0)
+
+    def do_s(v):
+        gray = _rgb_to_gray(v)
+        return jnp.clip(gray + (v - gray) * sf, 0.0, 1.0)
+
+    orders = list(itertools.permutations((do_b, do_c, do_s)))
+    comps = []
+    for order in orders:
+        v = x
+        for op in order:
+            v = op(v)
+        comps.append(np.asarray(v))
+
+    matches = np.stack([
+        np.array([np.allclose(out[i], comp[i], atol=1e-6) for i in range(B)])
+        for comp in comps
+    ])  # (6, B)
+    assert np.all(matches.any(axis=0)), "an image matched no permutation"
+    assert np.all(matches.sum(axis=1) > 0), "a permutation never occurred"
+
+
 def test_loader_thread_pool_order_and_completeness():
     """workers>=2 decodes via a thread pool but must deliver every batch in
     sampler order (the P x K pid-grouping contract depends on it)."""
