@@ -30,13 +30,14 @@ S1=$((EPOCHS / 2)); S2=$((EPOCHS * 3 / 4))
 run() { # run <tag> <variant> <out> [extra args...]
   local tag="$1" v="$2" out="$3"; shift 3
   local attempt rc age pid vlog="/tmp/e2e_${tag}_run.log"
-  for attempt in 1 2; do
+  rm -rf "/tmp/e2e_$tag"  # once per suite invocation; retries RESUME
+  for attempt in 1 2 3; do
     echo "=== variant $tag -> $out attempt $attempt ($(date)) ==="
-    rm -rf "/tmp/e2e_$tag"
     timeout 7200 python tools/train_e2e.py --variant "$v" \
       --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
       --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
-      --decode-cache --device-cache --out "$out" --save-dir "/tmp/e2e_$tag" "$@" \
+      --decode-cache --device-cache --resume \
+      --out "$out" --save-dir "/tmp/e2e_$tag" "$@" \
       > "$vlog" 2>&1 &
     pid=$!
     while kill -0 "$pid" 2>/dev/null; do

@@ -61,6 +61,11 @@ def main():
                          "default evaluates held-out images of seen ids")
     ap.add_argument("--out", type=str, default="E2E_TRAIN_r03.json")
     ap.add_argument("--save-dir", type=str, default="/tmp/e2e_train")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoint in save-dir "
+                         "(checkpoints land at eval epochs); fresh run if "
+                         "none exists. Keeps metrics.jsonl (the distiller "
+                         "dedupes re-run epochs by keeping the last record)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
     args = ap.parse_args()
@@ -114,32 +119,50 @@ def main():
                         weight_m=args.weight_m, seed=0,
                         compiler_options=compiler_options)
 
-    # metrics.jsonl is append-mode (Engine._log_metrics): clear any record
-    # of a prior run in this save_dir so the artifact holds ONE trajectory
+    resume_path = ""
+    if args.resume:
+        import glob
+        import re
+
+        cands = glob.glob(osp.join(args.save_dir, "model", "model.msgpack-*"))
+        epochs_found = [(int(m.group(1)), p) for p in cands
+                        for m in [re.search(r"-(\d+)$", p)] if m]
+        if epochs_found:
+            resume_path = max(epochs_found)[1]
+            print(f"resuming from {resume_path}")
+
+    # metrics.jsonl is append-mode (Engine._log_metrics): on a fresh run,
+    # clear any record of a prior run in this save_dir so the artifact
+    # holds ONE trajectory (on resume the trajectory continues instead)
     stale = osp.join(args.save_dir, "metrics.jsonl")
-    if osp.exists(stale):
+    if osp.exists(stale) and not resume_path:
         os.remove(stale)
 
     t0 = time.time()
     final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
-                          eval_freq=args.eval_freq, print_freq=5)
+                          eval_freq=args.eval_freq, print_freq=5,
+                          resume=resume_path)
     wall = time.time() - t0
 
     # distill metrics.jsonl into the committed artifact (drop the
     # machine-dependent timing meters, keep losses/accuracies)
-    evals, losses = [], {}
+    evals_by_epoch, losses = {}, {}
     with open(osp.join(args.save_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("kind") == "eval":
-                evals.append({k: rec[k] for k in rec
-                              if k in ("epoch", "mAP", "rank1", "rank5",
-                                       "rank10", "rank20")})
+                # keyed by epoch: re-run epochs after a resume dedupe to
+                # the last record
+                evals_by_epoch[rec.get("epoch")] = {
+                    k: rec[k] for k in rec
+                    if k in ("epoch", "mAP", "rank1", "rank5",
+                             "rank10", "rank20")}
             elif rec.get("kind") == "train_epoch":
                 losses[rec["epoch"]] = {
                     k: round(v, 4) for k, v in rec.items()
                     if isinstance(v, float) and k not in
                     ("lr", "batch_time_avg", "data_time_avg")}
+    evals = [evals_by_epoch[e] for e in sorted(evals_by_epoch)]
     artifact = {
         "protocol": {
             "dataset": "synthetic_mm(correlated=True)",
