@@ -251,6 +251,43 @@ def test_tensor_parallel_train_step_matches_replicated():
     np.testing.assert_allclose(loss_tp, loss_rep, rtol=2e-2)
 
 
+def test_tensor_parallel_training_converges():
+    """Tensor parallelism must TRAIN, not just step: ~15 steps on the
+    (data, model) mesh drive the softmax loss well below its start (the
+    step-parity test above pins one step; this pins the trajectory —
+    optimizer-moment shardings, lr injection, and donation all compose)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="adam", lr=1e-3)
+    eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                             scheduler=lambda e: 1e-3, mesh=_tp_mesh(),
+                             seed=0, tensor_parallel=True)
+    step = eng._build_train_step()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    it = iter(dm.train_loader)
+    for i in range(20):
+        try:
+            data = next(it)
+        except StopIteration:
+            it = iter(dm.train_loader)
+            data = next(it)
+        imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+        key, sub = jax.random.split(key)
+        eng.state, metrics = step(eng.state, imgs, pids, sub, 1e-3, None)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # batch 16 over 64 images is noisy per step: compare window means
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.25, losses
+
+
 def test_resume_restores_mesh_placement():
     """Checkpoint resume deserializes to host numpy leaves; the engine must
     re-place them on the mesh (tensor-parallel shardings included) before
