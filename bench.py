@@ -16,15 +16,44 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_TRIPLETS_PER_SEC = 400.0  # documented A100-class torch estimate
 
+# Watchdog: the axon PJRT tunnel has been observed to wedge (client asleep
+# in epoll, no progress, forever). The driver runs this unattended — on a
+# stall, print an honest zero-value JSON line with the stage that hung and
+# exit non-zero rather than hanging the round. 1500 s covers the worst
+# observed cold compile (~7 min) with 2x headroom.
+_beat_state = {"t": time.time(), "stage": "init"}
+
+
+def _beat(stage: str) -> None:
+    _beat_state.update(t=time.time(), stage=stage)
+
+
+def _watchdog(limit_s: float = 1500.0) -> None:
+    while True:
+        time.sleep(30)
+        if time.time() - _beat_state["t"] > limit_s:
+            print(json.dumps({
+                "metric": "rgbnt201_ieee_train_triplets_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "triplets/s",
+                "vs_baseline": 0.0,
+                "error": (f"stalled in '{_beat_state['stage']}' for "
+                          f">{limit_s:.0f}s (axon tunnel wedge)"),
+            }), flush=True)
+            os._exit(3)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     from ieee_tpu.data.transforms import build_transforms
@@ -37,6 +66,7 @@ def main():
     height, width = 256, 128
     num_pids = 171  # RGBNT201 train_171
 
+    _beat("datamanager build")
     dm = ImageDataManager(
         sources="synthetic_mm", height=height, width=width,
         batch_size_train=batch, batch_size_test=100, workers=0,
@@ -61,7 +91,9 @@ def main():
     # host decode (production runs use the threaded prefetch loader)
     from ieee_tpu.parallel import batch_sharding
 
+    _beat("host batch build")
     data = next(iter(dm.train_loader))
+    _beat("device transfer")
     imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
     step_fn = eng._build_train_step()
 
@@ -69,11 +101,13 @@ def main():
     # warmup / compile; sync via a host scalar pull (block_until_ready is
     # unreliable through the axon PJRT tunnel)
     for i in range(3):
+        _beat(f"warmup step {i} (incl. compile)")
         eng.state, m = step_fn(eng.state, imgs, pids,
                                jax.random.fold_in(key, i), 0.001, None)
         float(m["loss"])
 
     n_steps = 20
+    _beat("timed steps")
     t0 = time.perf_counter()
     for i in range(n_steps):
         eng.state, m = step_fn(eng.state, imgs, pids,
