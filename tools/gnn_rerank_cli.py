@@ -30,7 +30,17 @@ def main():
                         help="path to pickled features")
     parser.add_argument("--k1", type=int, default=26)
     parser.add_argument("--k2", type=int, default=7)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (a JAX_PLATFORMS=cpu "
+                             "env var is overridden by the container's "
+                             "sitecustomize; this flag flips the config "
+                             "before backends initialize)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ieee_tpu.ops.gnn_rerank import gnn_reranking
     from ieee_tpu.ops.ranking import eval_market1501_device
