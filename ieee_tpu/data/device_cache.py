@@ -87,7 +87,18 @@ class DeviceCachedLoader:
         self._paths = paths
 
     @staticmethod
+    def _sync(x) -> None:
+        # block_until_ready does NOT reliably block through the axon PJRT
+        # tunnel (CLAUDE.md); pulling a scalar is the project-wide sync.
+        import numpy as _np
+
+        idx = (0,) * x.ndim
+        int(_np.asarray(x[idx]))
+
+    @staticmethod
     def _ship(a: np.ndarray, slab_bytes: int = 48 << 20):
+        import functools
+
         import jax
         import jax.numpy as jnp
 
@@ -95,29 +106,39 @@ class DeviceCachedLoader:
         rows = max(1, slab_bytes // max(row, 1))
         if rows >= a.shape[0]:
             out = jnp.asarray(a)
-            return out.block_until_ready()
-        slabs = []
+            DeviceCachedLoader._sync(out)
+            return out
+
+        # write slabs into a preallocated destination (donated, so XLA
+        # aliases in place: peak device memory stays ~1x cache + 1 slab,
+        # never 2x as a concatenate of all slabs would)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write(dest, slab, start):
+            zeros = (jnp.int32(0),) * (dest.ndim - 1)
+            return jax.lax.dynamic_update_slice(dest, slab, (start,) + zeros)
+
+        out = jnp.zeros(a.shape, a.dtype)
         for i in range(0, a.shape[0], rows):
-            s = jax.device_put(a[i:i + rows])
-            slabs.append(s.block_until_ready())
-        out = jnp.concatenate(slabs, axis=0)
-        return out.block_until_ready()
+            # keep ONE static slab shape so _write compiles once: a short
+            # tail is replaced by the full-width window ending at n — the
+            # overlap rewrites rows the previous slab already wrote with
+            # identical data (idempotent), never with padding.
+            if i + rows > a.shape[0]:
+                i = a.shape[0] - rows
+            slab = jax.device_put(np.ascontiguousarray(a[i:i + rows]))
+            out = _write(out, slab, jnp.int32(i))
+            DeviceCachedLoader._sync(out)
+        return out
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
-        buf: List[int] = []
-        for idx in iter(self.sampler):
-            buf.append(idx)
-            if len(buf) == self.batch_size:
-                yield buf
-                buf = []
-        if buf and not self.drop_last:
-            yield buf
+        from .loader import batches_of_indices
+
+        return batches_of_indices(self.sampler, self.batch_size, self.drop_last)
 
     def __len__(self):
-        n = len(self.sampler)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        from .loader import num_batches
+
+        return num_batches(self.sampler, self.batch_size, self.drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         import jax.numpy as jnp

@@ -15,7 +15,27 @@ from typing import Any, Dict, Iterator, List
 
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "batches_of_indices", "num_batches"]
+
+
+def batches_of_indices(sampler, batch_size: int, drop_last: bool) -> Iterator[List[int]]:
+    """Sampler order -> lists of ``batch_size`` indices (shared by the host
+    loader and the device-cache loader so batching semantics can't diverge)."""
+    buf: List[int] = []
+    for idx in iter(sampler):
+        buf.append(idx)
+        if len(buf) == batch_size:
+            yield buf
+            buf = []
+    if buf and not drop_last:
+        yield buf
+
+
+def num_batches(sampler, batch_size: int, drop_last: bool) -> int:
+    n = len(sampler)
+    if drop_last:
+        return n // batch_size
+    return -(-n // batch_size)
 
 
 def _collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -62,20 +82,10 @@ class DataLoader:
         self._ht_lock = _threading.Lock()
 
     def _batches_of_indices(self) -> Iterator[List[int]]:
-        buf: List[int] = []
-        for idx in iter(self.sampler):
-            buf.append(idx)
-            if len(buf) == self.batch_size:
-                yield buf
-                buf = []
-        if buf and not self.drop_last:
-            yield buf
+        return batches_of_indices(self.sampler, self.batch_size, self.drop_last)
 
     def __len__(self):
-        n = len(self.sampler)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        return num_batches(self.sampler, self.batch_size, self.drop_last)
 
     def _apply_host(self, img):
         if img.ndim == 4:  # video tracklet (T, H, W, 3): per frame

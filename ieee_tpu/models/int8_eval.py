@@ -51,7 +51,12 @@ def supports_int8_eval(module) -> bool:
     neck runs folded-bf16); everything else falls back to the plain path."""
     if supports_fast_eval(module):
         return True
-    return type(module).__name__ == "ReIDResNet"
+    # the trunk walker replays convs with feature_group_count=1 only, so
+    # grouped variants (resnext*) must take the plain fallback, not crash.
+    return (
+        type(module).__name__ == "ReIDResNet"
+        and getattr(module, "groups", 1) == 1
+    )
 
 
 def _fold(p, s):

@@ -104,6 +104,17 @@ def test_device_cached_loader_matches_plain():
         np.testing.assert_array_equal(b1["img"][m], np.asarray(b2["img"][m]))
 
 
+def test_device_cache_slab_ship_exact():
+    """The donated dynamic_update_slice slab writer reproduces the source
+    array exactly, including the short-tail overlap rewrite."""
+    from ieee_tpu.data.device_cache import DeviceCachedLoader
+
+    a = np.arange(37 * 5 * 4 * 3, dtype=np.uint8).reshape(37, 5, 4, 3)
+    for slab_bytes in (200, 1 << 30):  # 3-rows/slab + single-transfer paths
+        out = DeviceCachedLoader._ship(a, slab_bytes=slab_bytes)
+        np.testing.assert_array_equal(np.asarray(out), a)
+
+
 def test_device_cache_rejects_host_transform():
     with pytest.raises(ValueError, match="device_cache"):
         ImageDataManager(

@@ -107,6 +107,16 @@ def test_int8_ieee_eval_step_matches_plain():
     assert c.min() > 0.97, c
 
 
+def test_int8_rejects_grouped_conv_trunks():
+    """resnext* (groups=32) must take the plain fallback: the trunk walker
+    replays convs with feature_group_count=1 and would crash otherwise."""
+    from ieee_tpu.models import build_model
+
+    for name in ("resnext50_32x4d", "resnext101_32x8d"):
+        assert not supports_int8_eval(build_model(name, num_classes=8).module)
+    assert supports_int8_eval(build_model("resnet50", num_classes=8).module)
+
+
 def test_int8_reid_fc_neck_matches_plain():
     """fc512-style neck: quantized trunk + folded-bf16 DenseBNReLU chain."""
     from ieee_tpu.models.base import ReIDModel

@@ -31,9 +31,10 @@ run() { # run <tag> <variant> <out> [extra args...]
   local tag="$1" v="$2" out="$3"; shift 3
   local attempt rc age pid vlog="/tmp/e2e_${tag}_run.log"
   rm -rf "/tmp/e2e_$tag"  # once per suite invocation; retries RESUME
+  rm -f "$out"            # a stale artifact must not mask a failed attempt
   for attempt in 1 2 3; do
     echo "=== variant $tag -> $out attempt $attempt ($(date)) ==="
-    timeout 7200 python tools/train_e2e.py --variant "$v" \
+    setsid timeout 7200 python tools/train_e2e.py --variant "$v" \
       --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
       --pids 48 --imgs-per-pid 32 --epochs "$EPOCHS" --eval-freq 25 \
       --decode-cache --device-cache --resume \
@@ -45,7 +46,10 @@ run() { # run <tag> <variant> <out> [extra args...]
       age=$(( $(date +%s) - $(stat -c %Y "$vlog" 2>/dev/null || echo 0) ))
       if [ "$age" -gt 600 ]; then
         echo "variant $tag attempt $attempt STALLED (${age}s log silence)"
-        kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+        # the trainer can wedge in an uninterruptible PJRT call: TERM then
+        # KILL the whole process group (setsid above) so no orphaned JAX
+        # process survives into the retry (1 CPU core, 1 TPU client)
+        kill -- -"$pid" 2>/dev/null; sleep 10; kill -9 -- -"$pid" 2>/dev/null
         break
       fi
     done
