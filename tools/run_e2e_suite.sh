@@ -55,7 +55,11 @@ run() { # run <tag> <variant> <out> [extra args...]
     done
     wait "$pid"; rc=$?
     tail -40 "$vlog"
-    if [ -f "$out" ]; then echo "variant $tag OK (attempt $attempt)"; return 0; fi
+    # a killed run still distills a PARTIAL artifact (complete:false);
+    # only a completed trajectory counts as success
+    if grep -q '"complete": true' "$out" 2>/dev/null; then
+      echo "variant $tag OK (attempt $attempt)"; return 0
+    fi
     echo "variant $tag attempt $attempt FAILED rc=$rc"
   done
   return 1

@@ -26,7 +26,50 @@ import argparse
 import json
 import os
 import os.path as osp
+import signal
+import sys
 import time
+
+
+def distill(save_dir: str, out: str, protocol: dict, final_rank1,
+            wall: float, complete: bool) -> dict:
+    """metrics.jsonl -> the committed artifact (drop machine-dependent
+    timing meters, keep losses/accuracies). Partial runs (timeout/SIGTERM)
+    write ``complete: false`` so the suite never mistakes them for done."""
+    evals_by_epoch, losses = {}, {}
+    path = osp.join(save_dir, "metrics.jsonl")
+    if osp.exists(path):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("kind") == "eval":
+                    # keyed by epoch: re-run epochs after a resume dedupe
+                    # to the last record
+                    evals_by_epoch[rec.get("epoch")] = {
+                        k: rec[k] for k in rec
+                        if k in ("epoch", "mAP", "rank1", "rank5",
+                                 "rank10", "rank20")}
+                elif rec.get("kind") == "train_epoch":
+                    losses[rec["epoch"]] = {
+                        k: round(v, 4) for k, v in rec.items()
+                        if isinstance(v, float) and k not in
+                        ("lr", "batch_time_avg", "data_time_avg")}
+    evals = [evals_by_epoch[e] for e in sorted(evals_by_epoch)]
+    artifact = {
+        "protocol": protocol,
+        "complete": bool(complete),
+        "loss_per_epoch": losses,
+        "evals": evals,
+        "final_rank1": None if final_rank1 is None else float(final_rank1),
+        "wall_s": round(wall, 1),
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"complete": bool(complete),
+                      "final_rank1": artifact["final_rank1"],
+                      "final_mAP": evals[-1]["mAP"] if evals else None,
+                      "wall_s": round(wall, 1)}))
+    return artifact
 
 
 def main():
@@ -68,12 +111,50 @@ def main():
                          "dedupes re-run epochs by keeping the last record)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
+    ap.add_argument("--distill-only", action="store_true",
+                    help="skip training: distill save-dir/metrics.jsonl "
+                         "into --out (marked partial) and exit")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # protocol block is needed by every exit path (incl. --distill-only,
+    # which must not touch the backend: the tunnel may be down)
+    model_kw = {}
+    if args.backbone_layers:
+        model_kw["backbone_layers"] = tuple(
+            int(x) for x in args.backbone_layers.split(","))
+    # ablation variants mirror tools/ablation_sweep.py (paper Table 3)
+    if args.variant == "base":
+        model_kw.update(interaction=False, attention=False, using_REM=False)
+        args.weight_m = 0.0
+    elif args.variant == "cim":
+        model_kw.update(interaction=True, attention=True, using_REM=False)
+        args.weight_m = 0.0
+    elif args.variant == "cim3m":
+        model_kw.update(interaction=True, attention=True, using_REM=False)
+    lr = args.lr if args.lr is not None else (
+        0.001 if args.optim == "sgd" else 3e-4)
+    stepsize = [int(x) for x in args.stepsize.split(",")]
+    protocol = {
+        "dataset": "synthetic_mm(correlated=True)",
+        "test_split": ("heldout ids (open-set)" if args.heldout_test
+                       else "held-out images of seen ids (closed-set)"),
+        "pids": args.pids, "imgs_per_pid": args.imgs_per_pid,
+        "hw": [args.height, args.width], "batch": args.batch,
+        "epochs": args.epochs,
+        "optim": (f"{args.optim} lr {lr} wd 5e-4, "
+                  f"multi_step {stepsize}, weight_m {args.weight_m}"),
+        "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
+        "variant": args.variant,
+    }
+    if args.distill_only:
+        protocol["backend"] = "unknown (distill-only)"
+        distill(args.save_dir, args.out, protocol, None, 0.0, complete=False)
+        return
 
     from ieee_tpu.data import ImageDataManager
     from ieee_tpu.engine import Image3MEngine
@@ -90,27 +171,11 @@ def main():
         decode_cache=args.decode_cache, device_cache=args.device_cache,
         heldout_test=args.heldout_test,
     )
-    model_kw = {}
-    if args.backbone_layers:
-        model_kw["backbone_layers"] = tuple(
-            int(x) for x in args.backbone_layers.split(","))
-    # ablation variants mirror tools/ablation_sweep.py (paper Table 3)
-    if args.variant == "base":
-        model_kw.update(interaction=False, attention=False, using_REM=False)
-        args.weight_m = 0.0
-    elif args.variant == "cim":
-        model_kw.update(interaction=True, attention=True, using_REM=False)
-        args.weight_m = 0.0
-    elif args.variant == "cim3m":
-        model_kw.update(interaction=True, attention=True, using_REM=False)
     model = build_model("ieee3modalPart", num_classes=args.pids,
                         loss="margin", pretrained=False, **model_kw)
-    lr = args.lr if args.lr is not None else (
-        0.001 if args.optim == "sgd" else 3e-4)
     tx = build_optimizer(optim=args.optim, lr=lr, momentum=0.9,
                          weight_decay=5e-4)
     # reference protocol: multi_step x0.1 at [20, 40] (BASELINE.md)
-    stepsize = [int(x) for x in args.stepsize.split(",")]
     sched = build_lr_scheduler("multi_step", stepsize=stepsize, base_lr=lr)
     compiler_options = None
     if jax.default_backend() in ("tpu", "axon"):
@@ -138,55 +203,22 @@ def main():
     if osp.exists(stale) and not resume_path:
         os.remove(stale)
 
-    t0 = time.time()
-    final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
-                          eval_freq=args.eval_freq, print_freq=5,
-                          resume=resume_path)
-    wall = time.time() - t0
+    protocol["backend"] = jax.default_backend()
 
-    # distill metrics.jsonl into the committed artifact (drop the
-    # machine-dependent timing meters, keep losses/accuracies)
-    evals_by_epoch, losses = {}, {}
-    with open(osp.join(args.save_dir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("kind") == "eval":
-                # keyed by epoch: re-run epochs after a resume dedupe to
-                # the last record
-                evals_by_epoch[rec.get("epoch")] = {
-                    k: rec[k] for k in rec
-                    if k in ("epoch", "mAP", "rank1", "rank5",
-                             "rank10", "rank20")}
-            elif rec.get("kind") == "train_epoch":
-                losses[rec["epoch"]] = {
-                    k: round(v, 4) for k, v in rec.items()
-                    if isinstance(v, float) and k not in
-                    ("lr", "batch_time_avg", "data_time_avg")}
-    evals = [evals_by_epoch[e] for e in sorted(evals_by_epoch)]
-    artifact = {
-        "protocol": {
-            "dataset": "synthetic_mm(correlated=True)",
-            "test_split": ("heldout ids (open-set)" if args.heldout_test
-                           else "held-out images of seen ids (closed-set)"),
-            "pids": args.pids, "imgs_per_pid": args.imgs_per_pid,
-            "hw": [args.height, args.width], "batch": args.batch,
-            "epochs": args.epochs,
-            "optim": (f"{args.optim} lr {lr} wd 5e-4, "
-                      f"multi_step {stepsize}, weight_m {args.weight_m}"),
-            "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
-            "variant": args.variant,
-            "backend": jax.default_backend(),
-        },
-        "loss_per_epoch": losses,
-        "evals": evals,
-        "final_rank1": float(final_rank1),
-        "wall_s": round(wall, 1),
-    }
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
-    print(json.dumps({"final_rank1": float(final_rank1),
-                      "final_mAP": evals[-1]["mAP"] if evals else None,
-                      "wall_s": round(wall, 1)}))
+    # a timeout(1) TERM (the suite's stall watchdog, the driver's bounds)
+    # must still reach the finally-distill below: convert it to SystemExit
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
+    t0 = time.time()
+    final_rank1, complete = None, False
+    try:
+        final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
+                              eval_freq=args.eval_freq, print_freq=5,
+                              resume=resume_path)
+        complete = True
+    finally:
+        distill(args.save_dir, args.out, protocol, final_rank1,
+                time.time() - t0, complete)
 
 
 if __name__ == "__main__":
