@@ -96,6 +96,11 @@ def get_default_config() -> ConfigNode:
     cfg.train.gamma = 0.1
     cfg.train.print_freq = 20
     cfg.train.seed = 1
+    # gradient accumulation: the batch splits into N sequential microbatches
+    # inside the one jitted step (lax.scan over chained BN stats, averaged
+    # grads, a single optimizer update). Effective batch beyond HBM;
+    # batch_size (x k_tfm) must divide by it. Beyond the reference.
+    cfg.train.accum_steps = 1
 
     # optimizers
     cfg.sgd = ConfigNode()
@@ -175,6 +180,12 @@ def get_default_config() -> ConfigNode:
     # tpu.mesh_shape [4,2] tpu.mesh_axes "['data','model']". Requires
     # sync_batchnorm. Beyond the reference (DataParallel only, SURVEY §2.8)
     cfg.tpu.tensor_parallel = False
+    # spatial parallelism over the same 2-D (data, model) mesh: the image
+    # HEIGHT dim shards over the "model" axis and GSPMD spatially partitions
+    # every conv (halo exchanges over ICI); params stay replicated and the
+    # math is exactly the single-device program. For large inputs / small
+    # per-chip batch. Requires sync_batchnorm; exclusive with tensor_parallel
+    cfg.tpu.spatial_parallel = False
 
     return cfg
 

@@ -40,7 +40,8 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
     tpu = getattr(cfg, "tpu", None)
     common = dict(optimizer=optimizer, scheduler=scheduler,
                   use_gpu=cfg.use_gpu, variables=variables,
-                  seed=cfg.train.seed)
+                  seed=cfg.train.seed,
+                  accum_steps=int(getattr(cfg.train, "accum_steps", 1)))
     if tpu is not None:
         from ..parallel import make_mesh
 
@@ -55,6 +56,7 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             fused_eval=bool(getattr(tpu, "fused_eval", False)),
             int8_eval=bool(getattr(tpu, "int8_eval", False)),
             tensor_parallel=bool(getattr(tpu, "tensor_parallel", False)),
+            spatial_parallel=bool(getattr(tpu, "spatial_parallel", False)),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

@@ -63,7 +63,8 @@ class Engine:
                  variables=None, donate: bool = True,
                  sync_batchnorm: bool = True, compiler_options=None,
                  rerank_bf16: bool = False, fused_eval: bool = False,
-                 int8_eval: bool = False, tensor_parallel: bool = False):
+                 int8_eval: bool = False, tensor_parallel: bool = False,
+                 spatial_parallel: bool = False, accum_steps: int = 1):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -99,6 +100,37 @@ class Engine:
                 "tpu.tensor_parallel requires tpu.sync_batchnorm=True: the "
                 "per-replica-BN shard_map path assumes replicated params"
             )
+        # cfg.tpu.spatial_parallel: shard the image HEIGHT dim over the
+        # 'model' axis — GSPMD spatially partitions every conv (halo
+        # exchanges over ICI) while params stay replicated. Math is
+        # EXACTLY the single-device program (pjit global reduces), unlike
+        # tp this changes layout only. For when activations, not params,
+        # are the memory/time bound (large inputs, small batch per chip).
+        if spatial_parallel and self.mesh.shape.get("model", 1) <= 1:
+            raise ValueError(
+                "tpu.spatial_parallel=True needs a mesh with a 'model' axis "
+                f"of size > 1, got mesh axes {dict(self.mesh.shape)}; set "
+                "cfg.tpu.mesh_shape/mesh_axes to a 2-D (data, model) layout"
+            )
+        if spatial_parallel and tensor_parallel:
+            raise ValueError(
+                "tpu.spatial_parallel and tpu.tensor_parallel both shard "
+                "over the 'model' axis — enable one or the other"
+            )
+        if spatial_parallel and not sync_batchnorm:
+            raise ValueError(
+                "tpu.spatial_parallel requires tpu.sync_batchnorm=True: "
+                "spatially-sharded activations cannot enter the per-replica "
+                "shard_map BN path"
+            )
+        self.spatial_parallel = bool(spatial_parallel)
+        # cfg.train.accum_steps: gradient accumulation — the batch splits
+        # into N sequential microbatches inside the ONE jitted step
+        # (lax.scan), grads average, the optimizer steps once. Effective
+        # batch beyond what activations fit in HBM; beyond the reference.
+        if int(accum_steps) < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+        self.accum_steps = int(accum_steps)
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -128,6 +160,32 @@ class Engine:
         self._eval_step_fn: Optional[Callable] = None
         self._metrics_path: Optional[str] = None
         self._host_step = 0
+
+    def _image_sharding(self):
+        """Sharding for image batches: (batch over 'data'[, height over
+        'model' under spatial_parallel])."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.spatial_parallel:
+            return NamedSharding(self.mesh, P("data", "model"))
+        return batch_sharding(self.mesh)
+
+    def _constrain_spatial(self, imgs):
+        """Pin activations entering the trunk to (data, model)-sharded so
+        GSPMD keeps every conv spatially partitioned (halo exchange) instead
+        of gathering H on the first op. Images are NHWC; video tracklets
+        (B,T,H,W,C) shard H at dim 2."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def pin(x):
+            spec = P("data", "model") if x.ndim == 4 else \
+                P("data", None, "model")
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
+        if isinstance(imgs, (tuple, list)):
+            return tuple(pin(m) for m in imgs)
+        return pin(imgs)
 
     def _place_state(self, state):
         """Lay the train state out on the mesh: model-axis shardings under
@@ -209,6 +267,45 @@ class Engine:
             check_vma=False,
         )(params, batch_stats, imgs)
 
+    def _accum_grads(self, state, imgs, pids, loss_fn):
+        """Gradient accumulation (cfg.train.accum_steps): split the batch
+        into N sequential microbatches under ``lax.scan``, chain the BN
+        running-stat updates through the carry (microbatch statistics, as a
+        sequential torch loop would see), average grads and metrics, and
+        hand back ONE update's worth of gradients. Activation memory drops
+        ~N-fold; the identity-sampler (P, K) contiguity means each
+        microbatch holds P/N whole pid groups, so the (P, K)-structured
+        losses stay well-formed."""
+        accum = self.accum_steps
+        b = (imgs[0] if isinstance(imgs, tuple) else imgs).shape[0]
+        if b % accum:
+            raise ValueError(
+                f"train batch {b} (incl. k_tfm draws) is not divisible by "
+                f"accum_steps={accum}")
+
+        def split(x):
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        imgs_s = (tuple(split(m) for m in imgs) if isinstance(imgs, tuple)
+                  else split(imgs))
+        pids_s = split(pids)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro(carry, xs):
+            stats, gsum = carry
+            im, pd = xs
+            (loss, (metrics, new_stats)), g = grad_fn(
+                state.params, stats, im, pd)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (new_stats, gsum), (loss, metrics)
+
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, gsum), (losses, metrics) = jax.lax.scan(
+            micro, (state.batch_stats, gzero), (imgs_s, pids_s))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        return jnp.mean(losses), metrics, new_stats, grads
+
     def _build_train_step(self, compiler_options=None):
         model = self.model
         tx = self.optimizer
@@ -231,9 +328,15 @@ class Engine:
                 else:
                     imgs = self._fold_k_tfm(imgs)
                 pids = jnp.repeat(pids, k_tfm)
-            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, state.batch_stats, imgs, pids)
+            if self.spatial_parallel:
+                imgs = self._constrain_spatial(imgs)
+            if self.accum_steps > 1:
+                loss, metrics, new_stats, grads = self._accum_grads(
+                    state, imgs, pids, loss_fn)
+            else:
+                (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, state.batch_stats, imgs, pids)
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = lr
             import optax
@@ -303,6 +406,8 @@ class Engine:
                 imgs = tuple(tfm(m) for m in imgs)
             else:
                 imgs = tfm(imgs)
+            if self.spatial_parallel:
+                imgs = self._constrain_spatial(imgs)
             return model.module.apply(
                 {"params": params, "batch_stats": batch_stats}, imgs,
                 train=False,
@@ -461,11 +566,12 @@ class Engine:
         })
 
     def _put_batch(self, data, in_shard):
+        img_shard = self._image_sharding()
         imgs = data["img"]
         if isinstance(imgs, (tuple, list)):
-            imgs = tuple(jax.device_put(m, in_shard) for m in imgs)
+            imgs = tuple(jax.device_put(m, img_shard) for m in imgs)
         else:
-            imgs = jax.device_put(imgs, in_shard)
+            imgs = jax.device_put(imgs, img_shard)
         pids = jax.device_put(data["pid"], in_shard)
         return imgs, pids
 
@@ -530,11 +636,13 @@ class Engine:
                     )
                 else:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-            # shard the eval batch over the data mesh axis (multi-chip eval)
+            # shard the eval batch over the data mesh axis (multi-chip eval;
+            # + height over 'model' under spatial_parallel)
+            img_shard = self._image_sharding()
             if multi:
-                imgs = tuple(jax.device_put(m, in_shard) for m in imgs)
+                imgs = tuple(jax.device_put(m, img_shard) for m in imgs)
             else:
-                imgs = jax.device_put(imgs, in_shard)
+                imgs = jax.device_put(imgs, img_shard)
             f = self._eval_step_fn(self.state.params, self.state.batch_stats,
                                    imgs)
             feats.append(np.asarray(f[:n], np.float32))

@@ -108,3 +108,87 @@ def test_eval_with_rerank(tmp_path):
                         ranks=(1,), rerank=True)
     assert np.isfinite(rank1)
     assert "re-ranking" in buf.getvalue()
+
+
+def test_accum_steps_matches_manual_microbatching():
+    """cfg.train.accum_steps=2: the one jitted step must equal the manual
+    semantics — transform the full batch, split in half, chain BN stats
+    through the halves, average the two grads, one optimizer update.
+    f32 compute so lax.scan-vs-unrolled reorder noise stays ~1e-6 and the
+    tolerance keeps real discriminative power (bf16 noise is ~3e-3)."""
+    import optax
+
+    from ieee_tpu.parallel import batch_sharding
+
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False, dtype="float32")
+    tx = build_optimizer(optim="sgd", lr=0.1, momentum=0.9, weight_decay=5e-4)
+    eng_a = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                               scheduler=lambda e: 0.1, seed=0, accum_steps=2)
+    eng_b = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                               scheduler=lambda e: 0.1, seed=0)
+
+    data = next(iter(dm.train_loader))
+    imgs, pids = eng_a._put_batch(data, batch_sharding(eng_a.mesh))
+    key = jax.random.PRNGKey(0)
+    step = eng_a._build_train_step()
+    new_state, metrics = step(eng_a.state, imgs, pids, key, 0.1, None, None)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # manual oracle on the untouched twin engine
+    imgs_t = eng_b._transform_train(key, imgs)
+
+    def loss_fn(p, s, im, pd):
+        out, ns = eng_b._forward_train(p, s, im)
+        loss, _ = eng_b.compute_loss(out, pd)
+        return loss, ns
+
+    g = jax.grad(loss_fn, has_aux=True)
+    p0, s0 = eng_b.state.params, eng_b.state.batch_stats
+    g1, s1 = g(p0, s0, imgs_t[:4], pids[:4])
+    g2, s2 = g(p0, s1, imgs_t[4:], pids[4:])
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    opt_state = eng_b.state.opt_state
+    opt_state.hyperparams["learning_rate"] = 0.1
+    updates, _ = tx.update(grads, opt_state, p0)
+    want_params = optax.apply_updates(p0, updates)
+
+    for path_got, path_want in zip(
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+        jax.tree_util.tree_leaves_with_path(want_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(path_got[1]), np.asarray(path_want[1]),
+            rtol=1e-4, atol=5e-5, err_msg=str(path_got[0]))
+    for got, want in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                         jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_accum_steps_must_divide_batch():
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="sgd", lr=0.1)
+    eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                             scheduler=lambda e: 0.1, seed=0, accum_steps=3)
+    from ieee_tpu.parallel import batch_sharding
+
+    data = next(iter(dm.train_loader))
+    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    step = eng._build_train_step()
+    with pytest.raises(ValueError, match="divisible"):
+        step(eng.state, imgs, pids, jax.random.PRNGKey(0), 0.1, None, None)
+    with pytest.raises(ValueError, match="accum_steps"):
+        ImageSoftmaxEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
+                           seed=0, accum_steps=0)

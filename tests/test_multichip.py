@@ -147,9 +147,12 @@ def test_build_engine_wires_round3_knobs(mesh8):
     cfg = get_default_config()
     cfg.model.name = "resnet18"
     cfg.loss.name = "softmax"
-    cfg.tpu.mesh_shape = [8]
+    cfg.tpu.mesh_shape = [4, 2]
+    cfg.tpu.mesh_axes = ["data", "model"]
     cfg.tpu.rerank_bf16 = True
     cfg.tpu.fused_eval = True
+    cfg.tpu.spatial_parallel = True
+    cfg.train.accum_steps = 2
     dm = ImageDataManager(
         sources="synthetic", height=32, width=16, batch_size_train=16,
         batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
@@ -162,6 +165,8 @@ def test_build_engine_wires_round3_knobs(mesh8):
                        lambda e: 0.01)
     assert eng.rerank_bf16 is True
     assert eng.fused_eval is True
+    assert eng.spatial_parallel is True
+    assert eng.accum_steps == 2
 
 
 def test_compiler_options_without_equals_is_a_clear_error():
@@ -355,3 +360,74 @@ def test_tensor_parallel_requires_sync_batchnorm():
                            scheduler=lambda e: 0.01, mesh=_tp_mesh(),
                            seed=0, tensor_parallel=True,
                            sync_batchnorm=False)
+
+
+def test_spatial_parallel_step_matches_replicated():
+    """cfg.tpu.spatial_parallel on a 2-D (data, model) mesh: image batches
+    shard (batch, height), the compiled step spatially partitions the convs
+    (halo exchanges -> collective-permute in the HLO), params stay
+    replicated, and the loss matches the replicated 1-D run (layout-only
+    change; the math is the single-device program)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    data = next(iter(dm.train_loader))  # the sampler is stateful: fetch once
+
+    def one_step(mesh, sp):
+        tx = build_optimizer(optim="sgd", lr=0.01, momentum=0.9)
+        eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                                 scheduler=lambda e: 0.01, mesh=mesh, seed=0,
+                                 spatial_parallel=sp)
+        step = eng._build_train_step()
+        imgs, pids = eng._put_batch(data, batch_sharding(mesh))
+        if sp:
+            # the batch is really laid out (data, model) on the mesh
+            assert tuple(imgs.sharding.spec) == ("data", "model")
+            txt = step.lower(eng.state, imgs, pids, jax.random.PRNGKey(0),
+                             0.01, None, None).compile().as_text()
+            # halo exchanges prove the convs run spatially partitioned
+            assert txt.count("collective-permute") > 0, \
+                "no halo exchange: GSPMD gathered H instead of partitioning"
+        eng.state, metrics = step(eng.state, imgs, pids,
+                                  jax.random.PRNGKey(0), 0.01, None, None)
+        if sp:
+            # params replicated (sp is a layout change, not weight sharding)
+            assert all(l.sharding.is_fully_replicated
+                       for l in jax.tree_util.tree_leaves(eng.state.params))
+        return float(metrics["loss"])
+
+    loss_sp = one_step(make_mesh([2, 4], ("data", "model")), True)
+    loss_rep = one_step(make_mesh([8], ("data",)), False)
+    assert np.isfinite(loss_sp)
+    np.testing.assert_allclose(loss_sp, loss_rep, rtol=5e-3)
+
+
+def test_spatial_parallel_validation():
+    """spatial_parallel needs a model axis, sync BN, and is exclusive with
+    tensor_parallel."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    kw = dict(optimizer=build_optimizer(optim="sgd", lr=0.01),
+              scheduler=lambda e: 0.01, seed=0)
+    with pytest.raises(ValueError, match="model"):
+        ImageSoftmaxEngine(dm, model, mesh=make_mesh([8], ("data",)),
+                           spatial_parallel=True, **kw)
+    with pytest.raises(ValueError, match="one or the other"):
+        ImageSoftmaxEngine(dm, model, mesh=_tp_mesh(),
+                           spatial_parallel=True, tensor_parallel=True, **kw)
+    with pytest.raises(ValueError, match="sync_batchnorm"):
+        ImageSoftmaxEngine(dm, model, mesh=_tp_mesh(),
+                           spatial_parallel=True, sync_batchnorm=False, **kw)
