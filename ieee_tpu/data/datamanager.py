@@ -15,6 +15,25 @@ from .loader import DataLoader
 from .sampler import build_train_sampler
 from .transforms import build_transforms
 
+
+def _maybe_shard_per_process(sampler, global_batch: int):
+    """Multi-host: wrap the train sampler so this process yields its slice
+    of every global batch (parallel/multihost.py). Returns the (possibly
+    wrapped) sampler and the LOCAL loader batch size. Single-process (or
+    uninitialized backend): unchanged."""
+    try:
+        import jax
+
+        pc, pi = jax.process_count(), jax.process_index()
+    except Exception:
+        return sampler, global_batch
+    if pc <= 1:
+        return sampler, global_batch
+    from ..parallel.multihost import ProcessShardSampler
+
+    wrapped = ProcessShardSampler(sampler, global_batch, pi, pc)
+    return wrapped, wrapped.local_batch_size
+
 __all__ = ["DataManager", "ImageDataManager", "VideoDataManager"]
 
 
@@ -144,6 +163,18 @@ class ImageDataManager(DataManager):
             batch_size=batch_size_train, num_instances=num_instances,
             num_cams=num_cams, num_datasets=num_datasets, seed=seed,
         )
+        # multi-host: batch_size_train is the GLOBAL batch; each process
+        # feeds its contiguous slice of every global batch and the engine
+        # reassembles on device (parallel/multihost.py). Identical seeds
+        # across processes keep the global sequence identical. No-op
+        # single-process.
+        train_sampler_obj, local_batch_train = _maybe_shard_per_process(
+            train_sampler_obj, batch_size_train)
+        if device_cache and local_batch_train != batch_size_train:
+            raise ValueError(
+                "data.device_cache is single-process: the HBM-resident "
+                "cache lives on this process's devices only; use "
+                "decode_cache for multi-host runs")
         if device_cache:
             # whole train set as uint8 in HBM; batches gather on device
             # (data/device_cache.py). RandomPatch needs host pixels per item.
@@ -156,13 +187,13 @@ class ImageDataManager(DataManager):
 
             self.train_loader = DeviceCachedLoader(
                 loader_trainset, train_sampler_obj,
-                batch_size=batch_size_train, drop_last=True,
+                batch_size=local_batch_train, drop_last=True,
             )
         else:
             self.train_loader = DataLoader(
                 loader_trainset,
                 train_sampler_obj,
-                batch_size=batch_size_train,
+                batch_size=local_batch_train,
                 drop_last=True,
                 workers=workers,
                 prefetch=prefetch,
@@ -282,14 +313,16 @@ class VideoDataManager(DataManager):
         self._num_streams = 1
         self.seq_len = seq_len
 
-        self.train_loader = DataLoader(
-            trainset,
+        video_sampler, local_batch_train = _maybe_shard_per_process(
             build_train_sampler(
                 trainset.train, train_sampler, batch_size=batch_size_train,
                 num_instances=num_instances, num_cams=num_cams,
                 num_datasets=num_datasets, seed=seed,
-            ),
-            batch_size=batch_size_train,
+            ), batch_size_train)
+        self.train_loader = DataLoader(
+            trainset,
+            video_sampler,
+            batch_size=local_batch_train,
             drop_last=True,
             workers=workers,
             prefetch=prefetch,

@@ -567,12 +567,25 @@ class Engine:
 
     def _put_batch(self, data, in_shard):
         img_shard = self._image_sharding()
+        if jax.process_count() > 1:
+            # multi-host: this process holds only its slice of the global
+            # batch (data/datamanager.py _maybe_shard_per_process); assemble
+            # the global array from the per-process shards. Only axis 0 is
+            # process-local (the data mesh axis spans hosts; a model axis —
+            # tp/sp — stays within each host's chips, the pod layout), so
+            # pass the global shape explicitly.
+            def put(x, sh):
+                x = np.asarray(x)
+                gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+                return jax.make_array_from_process_local_data(sh, x, gshape)
+        else:
+            put = jax.device_put
         imgs = data["img"]
         if isinstance(imgs, (tuple, list)):
-            imgs = tuple(jax.device_put(m, img_shard) for m in imgs)
+            imgs = tuple(put(m, img_shard) for m in imgs)
         else:
-            imgs = jax.device_put(imgs, img_shard)
-        pids = jax.device_put(data["pid"], in_shard)
+            imgs = put(imgs, img_shard)
+        pids = put(data["pid"], in_shard)
         return imgs, pids
 
     def _open_layers_mask(self, open_layers, tree=None):

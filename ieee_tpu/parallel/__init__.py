@@ -1,3 +1,4 @@
+from .multihost import ProcessShardSampler, init_multihost
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -16,4 +17,6 @@ __all__ = [
     "replicate",
     "shard_tree",
     "tp_shardings",
+    "ProcessShardSampler",
+    "init_multihost",
 ]
