@@ -50,6 +50,14 @@ def init_multihost(
             process_id=process_id,
             **kwargs,
         )
+    else:
+        # no explicit coordinates: let JAX auto-discover them (Cloud TPU
+        # pod metadata / SLURM / env). Outside a recognized multi-host
+        # environment this raises — fall back to single-process.
+        try:
+            jax.distributed.initialize(**kwargs)
+        except Exception:
+            pass
     return jax.process_index(), jax.process_count()
 
 

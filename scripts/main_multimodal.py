@@ -44,9 +44,21 @@ def main():
                         help="path to config file")
     parser.add_argument("--root", type=str, default="", help="path to data root")
     parser.add_argument("--seed", type=int, default=1, help="random seed")
+    parser.add_argument("--init-multihost", action="store_true",
+                        help="multi-host pod run: initialize "
+                             "jax.distributed before anything else (same "
+                             "--seed on every process; train.batch_size is "
+                             "the GLOBAL batch)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="modify config options using the command-line")
     args = parser.parse_args()
+
+    if args.init_multihost:
+        from ieee_tpu.parallel import init_multihost
+
+        pi, pc = init_multihost()
+        print(f"multihost: process {pi}/{pc}, "
+              f"{len(jax.devices())} global devices")
 
     cfg = get_default_config()
     if args.config_file:
