@@ -32,7 +32,7 @@ import time
 
 
 def distill(save_dir: str, out: str, protocol: dict, final_rank1,
-            wall: float, complete: bool) -> dict:
+            wall: float, complete: bool, quiet: bool = False) -> dict:
     """metrics.jsonl -> the committed artifact (drop machine-dependent
     timing meters, keep losses/accuracies). Partial runs (timeout/SIGTERM)
     write ``complete: false`` so the suite never mistakes them for done."""
@@ -41,7 +41,10 @@ def distill(save_dir: str, out: str, protocol: dict, final_rank1,
     if osp.exists(path):
         with open(path) as f:
             for line in f:
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn tail line (snapshot raced the writer)
                 if rec.get("kind") == "eval":
                     # keyed by epoch: re-run epochs after a resume dedupe
                     # to the last record
@@ -63,12 +66,15 @@ def distill(save_dir: str, out: str, protocol: dict, final_rank1,
         "final_rank1": None if final_rank1 is None else float(final_rank1),
         "wall_s": round(wall, 1),
     }
-    with open(out, "w") as f:
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(json.dumps({"complete": bool(complete),
-                      "final_rank1": artifact["final_rank1"],
-                      "final_mAP": evals[-1]["mAP"] if evals else None,
-                      "wall_s": round(wall, 1)}))
+    os.replace(tmp, out)  # atomic: a killed snapshot never leaves torn JSON
+    if not quiet:
+        print(json.dumps({"complete": bool(complete),
+                          "final_rank1": artifact["final_rank1"],
+                          "final_mAP": evals[-1]["mAP"] if evals else None,
+                          "wall_s": round(wall, 1)}))
     return artifact
 
 
@@ -210,6 +216,26 @@ def main():
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
     t0 = time.time()
+
+    # belt-and-braces: signal delivery during native compute is not a
+    # reliable cleanup path (observed: a TERM'd run left no artifact), so a
+    # daemon thread snapshots a partial artifact every 60 s — even SIGKILL
+    # leaves at most a minute of trajectory unrecorded. Atomic rename; the
+    # final distill wins via stop event.
+    import threading
+
+    stop_snap = threading.Event()
+
+    def _snapshot():
+        while not stop_snap.wait(60.0):
+            try:
+                distill(args.save_dir, args.out, protocol, None,
+                        time.time() - t0, complete=False, quiet=True)
+            except Exception:
+                pass
+
+    threading.Thread(target=_snapshot, daemon=True).start()
+
     final_rank1, complete = None, False
     try:
         final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
@@ -217,6 +243,7 @@ def main():
                               resume=resume_path)
         complete = True
     finally:
+        stop_snap.set()
         distill(args.save_dir, args.out, protocol, final_rank1,
                 time.time() - t0, complete)
 
