@@ -22,6 +22,17 @@ def _maybe_shard_per_process(sampler, global_batch: int):
     wrapped) sampler and the LOCAL loader batch size. Single-process (or
     uninitialized backend): unchanged."""
     try:
+        # Consult jax.distributed's own state instead of jax.process_count():
+        # the latter force-initializes the backend, which would break the
+        # documented 'jax.config.update("jax_platforms", ...) after building
+        # the datamanager' pattern (and eagerly opens the TPU tunnel). The
+        # distributed client exists iff jax.distributed.initialize() ran —
+        # exactly the multi-host case; otherwise return untouched with no
+        # backend side effects.
+        from jax._src import distributed as _jax_distributed
+
+        if getattr(_jax_distributed.global_state, "client", None) is None:
+            return sampler, global_batch
         import jax
 
         pc, pi = jax.process_count(), jax.process_index()

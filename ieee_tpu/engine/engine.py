@@ -161,13 +161,18 @@ class Engine:
         self._metrics_path: Optional[str] = None
         self._host_step = 0
 
-    def _image_sharding(self):
-        """Sharding for image batches: (batch over 'data'[, height over
-        'model' under spatial_parallel])."""
+    def _image_sharding(self, ndim: int = 4):
+        """Sharding for image batches: batch over 'data', plus height over
+        'model' under spatial_parallel. Rank-aware: NHWC shards H at dim 1;
+        video tracklets (B,S,H,W,C) shard H at dim 2 (never the frame
+        axis); other ranks (pids etc.) shard axis 0 only."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if self.spatial_parallel:
-            return NamedSharding(self.mesh, P("data", "model"))
+            if ndim == 4:
+                return NamedSharding(self.mesh, P("data", "model"))
+            if ndim == 5:
+                return NamedSharding(self.mesh, P("data", None, "model"))
         return batch_sharding(self.mesh)
 
     def _constrain_spatial(self, imgs):
@@ -514,10 +519,9 @@ class Engine:
         )
 
         num_batches = len(self.train_loader)
-        in_shard = batch_sharding(self.mesh)
         end = time.time()
         for batch_idx, data in enumerate(self.train_loader):
-            imgs, pids = self._put_batch(data, in_shard)
+            imgs, pids = self._put_batch(data)
             data_time.update(time.time() - end)
 
             key = jax.random.fold_in(self.rng, self._host_step)
@@ -565,8 +569,14 @@ class Engine:
             **{k: m.avg for k, m in losses.meters.items()},
         })
 
-    def _put_batch(self, data, in_shard):
-        img_shard = self._image_sharding()
+    def _put_batch(self, data, in_shard=None):
+        """Place a host train batch on the mesh. ``in_shard`` is accepted
+        for backward compatibility and ignored — shardings are derived from
+        the engine's own mesh/knobs (`_image_sharding`, `batch_sharding`)."""
+        del in_shard
+        return self._put_arrays(data["img"], data["pid"])
+
+    def _put_arrays(self, imgs, pids):
         if jax.process_count() > 1:
             # multi-host: this process holds only its slice of the global
             # batch (data/datamanager.py _maybe_shard_per_process); assemble
@@ -580,12 +590,11 @@ class Engine:
                 return jax.make_array_from_process_local_data(sh, x, gshape)
         else:
             put = jax.device_put
-        imgs = data["img"]
         if isinstance(imgs, (tuple, list)):
-            imgs = tuple(put(m, img_shard) for m in imgs)
+            imgs = tuple(put(m, self._image_sharding(m.ndim)) for m in imgs)
         else:
-            imgs = put(imgs, img_shard)
-        pids = put(data["pid"], in_shard)
+            imgs = put(imgs, self._image_sharding(imgs.ndim))
+        pids = put(pids, batch_sharding(self.mesh))
         return imgs, pids
 
     def _open_layers_mask(self, open_layers, tree=None):
@@ -636,7 +645,6 @@ class Engine:
         # recompiles AND keeps axis 0 shardable over the data axis
         n_dev = int(np.prod(self.mesh.devices.shape))
         batch_size = -(-loader.batch_size // n_dev) * n_dev
-        in_shard = batch_sharding(self.mesh)
         for data in loader:
             imgs = data["img"]
             multi = isinstance(imgs, (tuple, list))
@@ -650,12 +658,14 @@ class Engine:
                 else:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
             # shard the eval batch over the data mesh axis (multi-chip eval;
-            # + height over 'model' under spatial_parallel)
-            img_shard = self._image_sharding()
+            # + height over 'model' under spatial_parallel — rank-aware so
+            # video (B,S,H,W,C) batches shard H, never the frame axis)
             if multi:
-                imgs = tuple(jax.device_put(m, img_shard) for m in imgs)
+                imgs = tuple(
+                    jax.device_put(m, self._image_sharding(m.ndim))
+                    for m in imgs)
             else:
-                imgs = jax.device_put(imgs, img_shard)
+                imgs = jax.device_put(imgs, self._image_sharding(imgs.ndim))
             f = self._eval_step_fn(self.state.params, self.state.batch_stats,
                                    imgs)
             feats.append(np.asarray(f[:n], np.float32))

@@ -23,16 +23,18 @@ class VideoSoftmaxEngine(ImageSoftmaxEngine):
                          use_gpu=use_gpu, label_smooth=label_smooth, **kwargs)
         self.pooling_method = pooling_method
 
-    def _put_batch(self, data, in_shard):
+    def _put_batch(self, data, in_shard=None):
+        del in_shard  # derived from the engine mesh (see base _put_batch)
         imgs = data["img"]  # (B, S, H, W, 3) uint8
         pids = data["pid"]
         if imgs.ndim == 5:
             b, s = imgs.shape[:2]
             imgs = imgs.reshape(b * s, *imgs.shape[2:])
             pids = np.repeat(pids, s)
-        imgs = jax.device_put(imgs, in_shard)
-        pids = jax.device_put(pids, in_shard)
-        return imgs, pids
+        # delegate placement to the base helper: multi-host global-array
+        # assembly (make_array_from_process_local_data) and rank-aware
+        # spatial sharding both apply to the folded (B*S,H,W,C) batch too
+        return self._put_arrays(imgs, pids)
 
     def _build_eval_step(self):
         model = self.model

@@ -53,11 +53,24 @@ def init_multihost(
     else:
         # no explicit coordinates: let JAX auto-discover them (Cloud TPU
         # pod metadata / SLURM / env). Outside a recognized multi-host
-        # environment this raises — fall back to single-process.
+        # environment this raises — fall back to single-process, but say
+        # so LOUDLY: the caller explicitly asked for multi-host, and a
+        # silent fallback would run N independent duplicated single-process
+        # jobs (each on the full global batch) with only a 'process 0/1'
+        # print as evidence.
         try:
             jax.distributed.initialize(**kwargs)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — re-surfaced via warning
+            import warnings
+
+            warnings.warn(
+                "init_multihost: jax.distributed.initialize() auto-discovery"
+                f" failed ({type(e).__name__}: {e}); falling back to"
+                " SINGLE-process mode. If this is a pod launch, every worker"
+                " is now training independently on the full global batch —"
+                " pass explicit coordinator_address/num_processes/process_id.",
+                RuntimeWarning, stacklevel=2,
+            )
     return jax.process_index(), jax.process_count()
 
 

@@ -71,9 +71,7 @@ def eng_last_loss(eng):
     import jax
 
     data = next(iter(eng.train_loader))
-    imgs, pids = eng._put_batch(data, __import__(
-        "ieee_tpu.parallel", fromlist=["batch_sharding"]
-    ).batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     eng.state, metrics = eng._train_step_fn(eng.state, imgs, pids,
                                             jax.random.PRNGKey(123), 0.0, None)
     return float(metrics["loss"])
@@ -107,7 +105,6 @@ def test_k_tfm_train_step_e2e():
     and a full train step runs with finite loss."""
     import jax
 
-    from ieee_tpu.parallel import batch_sharding
 
     dm = _make_dm("synthetic_mm", k_tfm=2)
     model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
@@ -119,7 +116,7 @@ def test_k_tfm_train_step_e2e():
     assert eng.num_instances == 8  # 4 sampler instances x 2 draws
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     step_fn = eng._build_train_step()
     eng.state, metrics = step_fn(eng.state, imgs, pids, jax.random.PRNGKey(0),
                                  0.001, None)

@@ -118,7 +118,6 @@ def test_accum_steps_matches_manual_microbatching():
     tolerance keeps real discriminative power (bf16 noise is ~3e-3)."""
     import optax
 
-    from ieee_tpu.parallel import batch_sharding
 
     dm = ImageDataManager(
         sources="synthetic", height=32, width=16, batch_size_train=8,
@@ -134,7 +133,7 @@ def test_accum_steps_matches_manual_microbatching():
                                scheduler=lambda e: 0.1, seed=0)
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng_a._put_batch(data, batch_sharding(eng_a.mesh))
+    imgs, pids = eng_a._put_batch(data)
     key = jax.random.PRNGKey(0)
     step = eng_a._build_train_step()
     new_state, metrics = step(eng_a.state, imgs, pids, key, 0.1, None, None)
@@ -182,10 +181,9 @@ def test_accum_steps_must_divide_batch():
     tx = build_optimizer(optim="sgd", lr=0.1)
     eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
                              scheduler=lambda e: 0.1, seed=0, accum_steps=3)
-    from ieee_tpu.parallel import batch_sharding
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     step = eng._build_train_step()
     with pytest.raises(ValueError, match="divisible"):
         step(eng.state, imgs, pids, jax.random.PRNGKey(0), 0.1, None, None)

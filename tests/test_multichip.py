@@ -11,7 +11,7 @@ from ieee_tpu.data import ImageDataManager
 from ieee_tpu.engine import Image3MEngine, ImageSoftmaxEngine
 from ieee_tpu.models import build_model
 from ieee_tpu.optim import build_optimizer
-from ieee_tpu.parallel import batch_sharding, make_mesh
+from ieee_tpu.parallel import make_mesh
 
 pytestmark = pytest.mark.e2e
 
@@ -36,7 +36,7 @@ def test_train_step_sharded_over_mesh(mesh8):
                              scheduler=lambda e: 0.01, mesh=mesh8, seed=0)
     step = eng._build_train_step()
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(mesh8))
+    imgs, pids = eng._put_batch(data)
     # batch really is sharded over 8 devices
     assert len(imgs.sharding.device_set) == 8
     eng.state, metrics = step(eng.state, imgs, pids, jax.random.PRNGKey(0),
@@ -68,7 +68,7 @@ def test_sync_batchnorm_knob_changes_bn_stats(mesh8):
                                  sync_batchnorm=sync)
         step = eng._build_train_step()
         data = next(iter(dm.train_loader))
-        imgs, pids = eng._put_batch(data, batch_sharding(mesh8))
+        imgs, pids = eng._put_batch(data)
         eng.state, _ = step(eng.state, imgs, pids, jax.random.PRNGKey(0),
                             0.0, None)
         return jax.tree_util.tree_map(np.asarray, eng.state.batch_stats)
@@ -226,7 +226,7 @@ def test_tensor_parallel_train_step_matches_replicated():
                                  scheduler=lambda e: 0.01, mesh=mesh, seed=0,
                                  tensor_parallel=tp)
         step = eng._build_train_step()
-        imgs, pids = eng._put_batch(data, batch_sharding(mesh))
+        imgs, pids = eng._put_batch(data)
         eng.state, metrics = step(eng.state, imgs, pids,
                                   jax.random.PRNGKey(0), 0.01, None)
         return eng, float(metrics["loss"])
@@ -284,7 +284,7 @@ def test_tensor_parallel_training_converges():
         except StopIteration:
             it = iter(dm.train_loader)
             data = next(it)
-        imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+        imgs, pids = eng._put_batch(data)
         key, sub = jax.random.split(key)
         eng.state, metrics = step(eng.state, imgs, pids, sub, 1e-3, None)
         losses.append(float(metrics["loss"]))
@@ -385,7 +385,7 @@ def test_spatial_parallel_step_matches_replicated():
                                  scheduler=lambda e: 0.01, mesh=mesh, seed=0,
                                  spatial_parallel=sp)
         step = eng._build_train_step()
-        imgs, pids = eng._put_batch(data, batch_sharding(mesh))
+        imgs, pids = eng._put_batch(data)
         if sp:
             # the batch is really laid out (data, model) on the mesh
             assert tuple(imgs.sharding.spec) == ("data", "model")
@@ -431,3 +431,33 @@ def test_spatial_parallel_validation():
     with pytest.raises(ValueError, match="sync_batchnorm"):
         ImageSoftmaxEngine(dm, model, mesh=_tp_mesh(),
                            spatial_parallel=True, sync_batchnorm=False, **kw)
+
+
+def test_image_sharding_rank_aware():
+    """Under spatial_parallel the image sharding is rank-dispatched: 4-D
+    NHWC shards H at dim 1, 5-D video tracklets (B,S,H,W,C) shard H at
+    dim 2 — never the frame axis — and non-image ranks (pids) shard axis 0
+    only. Regression: eval used to apply P('data','model') to 5-D video
+    batches, sharding frames instead of height."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    eng = ImageSoftmaxEngine(dm, model,
+                             optimizer=build_optimizer(optim="sgd", lr=0.01),
+                             scheduler=lambda e: 0.01, mesh=_tp_mesh(),
+                             seed=0, spatial_parallel=True)
+    assert tuple(eng._image_sharding(4).spec) == ("data", "model")
+    assert tuple(eng._image_sharding(5).spec) == ("data", None, "model")
+    assert tuple(eng._image_sharding(1).spec) == ("data",)
+    # without spatial_parallel everything is plain batch sharding
+    eng2 = ImageSoftmaxEngine(dm, model,
+                              optimizer=build_optimizer(optim="sgd", lr=0.01),
+                              scheduler=lambda e: 0.01,
+                              mesh=make_mesh([8], ("data",)), seed=0)
+    assert tuple(eng2._image_sharding(5).spec) == ("data",)

@@ -42,11 +42,39 @@ def test_video_batch_folding():
     tx = build_optimizer(optim="sgd", lr=0.01)
     eng = VideoSoftmaxEngine(dm, model, optimizer=tx,
                              scheduler=lambda e: 0.01, seed=0)
-    from ieee_tpu.parallel import batch_sharding
 
-    imgs, pids = eng._put_batch(batch, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(batch)
     assert imgs.shape == (16, 64, 32, 3)  # frames folded into batch
     assert pids.shape == (16,)
     # pids repeated per frame
     assert (np.asarray(pids).reshape(4, 4) ==
             batch["pid"][:, None]).all()
+
+
+def test_video_put_batch_delegates_to_shared_placement(monkeypatch):
+    """The video _put_batch folds frames then routes through the base
+    engine's _put_arrays — the ONE place implementing multi-host
+    global-array assembly (make_array_from_process_local_data) and
+    rank-aware spatial sharding. Regression: the override used plain
+    jax.device_put, which would silently feed per-process slices as if
+    replicated on multi-host video runs."""
+    dm = _make_dm()
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    eng = VideoSoftmaxEngine(dm, model,
+                             optimizer=build_optimizer(optim="sgd", lr=0.01),
+                             scheduler=lambda e: 0.01, seed=0)
+    batch = next(iter(dm.train_loader))
+    seen = {}
+    orig = eng._put_arrays
+
+    def spy(imgs, pids):
+        seen["imgs"] = imgs.shape
+        seen["pids"] = pids.shape
+        return orig(imgs, pids)
+
+    monkeypatch.setattr(eng, "_put_arrays", spy)
+    imgs, pids = eng._put_batch(batch)
+    assert seen["imgs"] == (16, 64, 32, 3)  # folded BEFORE placement
+    assert seen["pids"] == (16,)
+    assert imgs.shape == (16, 64, 32, 3)

@@ -23,7 +23,6 @@ def run_variant(name, batch, steps, **model_flags):
     from ieee_tpu.engine import Image3MEngine
     from ieee_tpu.models import build_model
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
-    from ieee_tpu.parallel import batch_sharding
 
     num_pids = 171
     dm = ImageDataManager(
@@ -42,7 +41,7 @@ def run_variant(name, batch, steps, **model_flags):
     eng.max_epoch = 1
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     step_fn = eng._build_train_step()
     key = jax.random.PRNGKey(0)
 

@@ -23,7 +23,6 @@ def build(batch):
     from ieee_tpu.models import build_model
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
     from ieee_tpu.data import ImageDataManager
-    from ieee_tpu.parallel import batch_sharding
 
     num_pids = 171
     dm = ImageDataManager(
@@ -41,7 +40,7 @@ def build(batch):
                         seed=0)
     eng.max_epoch = 1
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     return eng, imgs, pids
 
 

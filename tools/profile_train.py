@@ -33,7 +33,6 @@ def main():
     from ieee_tpu.models import build_model
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
     from ieee_tpu.data import ImageDataManager
-    from ieee_tpu.parallel import batch_sharding
 
     batch = args.batch
     num_pids = 171
@@ -52,7 +51,7 @@ def main():
     eng.max_epoch = 1
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     step_fn = eng._build_train_step(compiler_options=options)
     key = jax.random.PRNGKey(0)
 

@@ -234,7 +234,8 @@ def main():
             except Exception:
                 pass
 
-    threading.Thread(target=_snapshot, daemon=True).start()
+    snap_thread = threading.Thread(target=_snapshot, daemon=True)
+    snap_thread.start()
 
     final_rank1, complete = None, False
     try:
@@ -243,7 +244,12 @@ def main():
                               resume=resume_path)
         complete = True
     finally:
+        # stop AND JOIN the snapshotter before the final distill: both
+        # writers share out+'.tmp', so an in-flight snapshot could tear the
+        # final artifact or replace complete:true with a stale partial.
+        # set() wakes Event.wait immediately, so the join is prompt.
         stop_snap.set()
+        snap_thread.join(timeout=30.0)
         distill(args.save_dir, args.out, protocol, final_rank1,
                 time.time() - t0, complete)
 

@@ -146,7 +146,6 @@ def main():
     from ieee_tpu.models import build_model
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
     from ieee_tpu.data import ImageDataManager
-    from ieee_tpu.parallel import batch_sharding
 
     num_pids = 171
     dm = ImageDataManager(
@@ -165,7 +164,7 @@ def main():
     eng.max_epoch = 1
 
     data = next(iter(dm.train_loader))
-    imgs, pids = eng._put_batch(data, batch_sharding(eng.mesh))
+    imgs, pids = eng._put_batch(data)
     key = jax.random.PRNGKey(0)
 
     # keep a pristine copy of the initial state: donation invalidates the
