@@ -17,5 +17,6 @@ __all__ = [
     "compute_distance_matrix",
     "cosine_distance",
     "euclidean_squared_distance",
+    "eval_regdb",
     "evaluate_rank",
 ]

@@ -24,7 +24,6 @@ def compute_distance_matrix_sharded(input1, input2, mesh,
     each device computes its row-block against the replicated gallery
     (shard_map, so the Pallas kernel partitions correctly per device).
     Falls back to the single-device path on a 1-device mesh."""
-    import numpy as np
     from jax.sharding import PartitionSpec as P
 
     n_dev = int(mesh.shape.get("data", 1)) if mesh is not None else 1

@@ -44,7 +44,9 @@ _EPS = 1e-5
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # axon is the remote-TPU PJRT plugin — a real TPU, same as partpool/
+    # distmat gates; interpret mode is only for the CPU test mesh
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 def _tile(dim: int, target: int, align: int = 8) -> int:

@@ -13,6 +13,13 @@ Protocol notes (must match the reference bit-for-bit for mAP parity):
  - queries with no remaining positive are dropped from both CMC and mAP;
  - CMC is computed over the *compressed* kept-gallery ranking;
  - distances are squared euclidean (no sqrt) by default upstream.
+
+Tie-breaking divergence (documented): all sorts here are STABLE (numpy
+``kind="stable"``; ``jnp.argsort`` is stable), so exactly-tied distances
+rank by gallery index, deterministically, and the numpy oracle and the
+device program agree. The reference's default ``np.argsort`` quicksort
+gives an arbitrary, platform-dependent tie order — there is no canonical
+behavior to match; real-valued distmats tie with probability ~0.
 """
 
 from __future__ import annotations

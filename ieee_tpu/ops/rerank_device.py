@@ -130,6 +130,16 @@ def re_ranking_device(q_g_dist, q_q_dist, g_g_dist, k1: int = 20,
     ``minsum_bf16`` trades the 1e-4 oracle parity for a faster jaccard
     sweep (see _rerank_core)."""
     qn = np.asarray(q_q_dist).shape[0]
+    n = qn + np.asarray(g_g_dist).shape[0]
+    if n <= max(k1 + 1, k2):
+        # approx_max_k requires k < n; tiny problems go to the numpy
+        # oracle (bit-matched to the reference, fast at this scale) —
+        # the documented small-problem path.
+        from .rerank import re_ranking
+
+        return re_ranking(np.asarray(q_g_dist), np.asarray(q_q_dist),
+                          np.asarray(g_g_dist), k1=k1, k2=k2,
+                          lambda_value=lambda_value)
     jaccard, Dq = _rerank_core(
         jnp.asarray(q_g_dist, jnp.float32),
         jnp.asarray(q_q_dist, jnp.float32),

@@ -41,20 +41,33 @@ def save_checkpoint(
     del remove_module_from_keys
     mkdir_if_missing(save_dir)
     fpath = osp.join(save_dir, f"model.msgpack-{epoch}")
+    meta = {"epoch": int(epoch)}
+    if rank1 is not None:
+        meta["rank1"] = float(rank1)
+    # every write is tmp+rename, and the meta sidecar lands BEFORE the
+    # msgpack it describes: _latest_checkpoint keys on the msgpack file, so
+    # a kill between the two leaves only an orphan .json (harmless), never
+    # a resumable checkpoint with a missing/torn sidecar (which would
+    # silently resume at epoch 0).
+    _atomic_json(fpath + ".json", meta)
     tmp = fpath + ".tmp"
     with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(state))
     os.replace(tmp, fpath)
-    meta = {"epoch": int(epoch)}
-    if rank1 is not None:
-        meta["rank1"] = float(rank1)
-    with open(fpath + ".json", "w") as f:
-        json.dump(meta, f)
     print(f'Checkpoint saved to "{fpath}"')
     if is_best:
-        shutil.copy(fpath, osp.join(save_dir, "model-best.msgpack"))
-        shutil.copy(fpath + ".json", osp.join(save_dir, "model-best.msgpack.json"))
+        best = osp.join(save_dir, "model-best.msgpack")
+        _atomic_json(best + ".json", meta)
+        shutil.copy(fpath, best + ".tmp")
+        os.replace(best + ".tmp", best)
     return fpath
+
+
+def _atomic_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
 
 
 def _latest_checkpoint(dirpath: str) -> Optional[str]:
@@ -86,8 +99,17 @@ def load_checkpoint(fpath: str, template: Any) -> Tuple[Any, dict]:
         state = flax.serialization.from_bytes(template, f.read())
     meta = {}
     if osp.exists(fpath + ".json"):
-        with open(fpath + ".json") as f:
-            meta = json.load(f)
+        try:
+            with open(fpath + ".json") as f:
+                meta = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            # pre-atomic-sidecar checkpoints could leave a torn .json;
+            # warn (resume will restart epoch counting) instead of crashing
+            import warnings
+
+            warnings.warn(
+                f'Unreadable checkpoint sidecar "{fpath}.json" ({e}); '
+                "epoch/rank1 metadata lost — resume counts from epoch 0.")
     return state, meta
 
 

@@ -56,6 +56,33 @@ class Logger:
             self.file.close()
             self.file = None
 
+    # Logger is installed AS sys.stdout (scripts/main_multimodal.py), so it
+    # must answer the TextIO probes libraries make on the stream (progress
+    # bars/isatty, subprocess/fileno, encoding checks) — delegate to the
+    # real console.
+    def isatty(self):
+        try:
+            return self.console.isatty()
+        except Exception:
+            return False
+
+    def fileno(self):
+        return self.console.fileno()
+
+    @property
+    def encoding(self):
+        return getattr(self.console, "encoding", "utf-8")
+
+    @property
+    def errors(self):
+        return getattr(self.console, "errors", "strict")
+
+    def writable(self):
+        return True
+
+    def readable(self):
+        return False
+
 
 class RankLogger:
     """Records rank-1 at each eval epoch per dataset and prints a summary."""

@@ -48,7 +48,10 @@ def _bordered(img, color):
 def visualize_ranked_results(distmat, dataset, data_type="image", width=128,
                              height=256, save_dir="", topk=10):
     """Write one strip image per query: query | top-k gallery, green border =
-    correct pid, red = wrong (reference ``reidtools.py:18-154``).
+    correct pid, red = wrong (reference ``reidtools.py:18-154``). For
+    ``data_type="video"`` each query gets a folder of per-rank tracklet
+    subfolders (``query_top000``, ``gallery_topNNN_TRUE|FALSE``) holding
+    the copied frames, as the reference's ``_cp_img_to`` does.
 
     Args:
         distmat: (num_query, num_gallery).
@@ -63,6 +66,10 @@ def visualize_ranked_results(distmat, dataset, data_type="image", width=128,
     assert num_q == len(query) and num_g == len(gallery)
 
     indices = np.argsort(distmat, axis=1)
+
+    if data_type == "video":
+        _visualize_ranked_tracklets(indices, query, gallery, save_dir, topk)
+        return
     for q_idx in range(num_q):
         qentry = query[q_idx]
         qpath, qpid, qcamid = qentry[0], qentry[1], qentry[2]
@@ -89,6 +96,43 @@ def visualize_ranked_results(distmat, dataset, data_type="image", width=128,
             qname += ".jpg"
         Image.fromarray(grid).save(osp.join(save_dir, qname))
     print(f'Done. Images have been saved to "{save_dir}" ...')
+
+
+def _visualize_ranked_tracklets(indices, query, gallery, save_dir, topk):
+    """Video-reid ranks: one folder per query tracklet, with the query's
+    frames under ``query_top000`` and each ranked gallery tracklet's frames
+    under ``gallery_topNNN_TRUE|FALSE`` (reference ``reidtools.py:51-77``
+    ``_cp_img_to``)."""
+    import shutil
+
+    def _paths(p):
+        return list(p) if isinstance(p, (tuple, list)) else [p]
+
+    for q_idx in range(len(query)):
+        qentry = query[q_idx]
+        qpaths, qpid, qcamid = _paths(qentry[0]), qentry[1], qentry[2]
+        qdir = osp.join(save_dir,
+                        osp.basename(osp.splitext(qpaths[0])[0]))
+        dst = osp.join(qdir, "query_top000")
+        mkdir_if_missing(dst)
+        for p in qpaths:
+            shutil.copy(p, dst)
+        rank_idx = 1
+        for g_idx in indices[q_idx]:
+            gentry = gallery[g_idx]
+            gpaths, gpid, gcamid = _paths(gentry[0]), gentry[1], gentry[2]
+            if (gpid == qpid) and (gcamid == qcamid):
+                continue  # same-camera junk, as the eval protocol
+            suffix = "TRUE" if gpid == qpid else "FALSE"
+            dst = osp.join(qdir,
+                           f"gallery_top{rank_idx:03d}_{suffix}")
+            mkdir_if_missing(dst)
+            for p in gpaths:
+                shutil.copy(p, dst)
+            rank_idx += 1
+            if rank_idx > topk:
+                break
+    print(f'Done. Tracklet folders have been saved to "{save_dir}" ...')
 
 
 def show_point_multi_modal(features, real_labels, save_path="tsne.png",

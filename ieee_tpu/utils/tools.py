@@ -62,6 +62,9 @@ def set_random_seed(seed: int) -> None:
     (deterministic by construction), so there is no cudnn-style switch."""
     random.seed(seed)
     np.random.seed(seed)
+    # note: only inherited by CHILD processes (worker subprocesses); the
+    # current interpreter's hash seed was fixed at startup and cannot be
+    # changed here
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 

@@ -164,3 +164,24 @@ def test_device_rerank_bf16_minsum_close_to_oracle():
                              k1=10, k2=4, minsum_bf16=True)
     assert np.abs(fast - exact).max() < 2e-3
     assert not np.array_equal(fast, exact)  # genuinely a different path
+
+
+def test_device_rerank_tiny_problem_falls_back():
+    """n <= k1+1 used to crash approx_max_k ('k must be smaller than n');
+    tiny problems now dispatch to the numpy oracle and still return the
+    exact protocol result."""
+    from ieee_tpu.ops.rerank import re_ranking
+    from ieee_tpu.ops.rerank_device import re_ranking_device
+
+    rng = np.random.default_rng(3)
+    nq, ng, d = 3, 5, 8  # n=8 << default k1+1=21
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    g = rng.standard_normal((ng, d)).astype(np.float32)
+
+    def sqdist(a, b):
+        return ((a[:, None] - b[None]) ** 2).sum(-1)
+
+    args = (sqdist(q, g), sqdist(q, q), sqdist(g, g))
+    ref = re_ranking(*args)
+    dev = re_ranking_device(*args)
+    np.testing.assert_allclose(dev, ref, rtol=1e-6, atol=1e-7)

@@ -206,3 +206,72 @@ def test_export_serving_multimodal():
     # the IEEE model computes in bf16; the exported lowering fuses slightly
     # differently from live jit -> one-ULP (0.0039) wiggle is expected
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-2)
+
+
+def test_logger_answers_textio_probes(tmp_path):
+    """Logger is installed as sys.stdout, so libraries probing the stream
+    (isatty for progress bars, fileno for subprocess, encoding) must not
+    crash."""
+    lg = Logger(str(tmp_path / "probe.log"))
+    assert lg.isatty() in (True, False)
+    assert isinstance(lg.fileno(), int)
+    assert isinstance(lg.encoding, str)
+    assert lg.writable() and not lg.readable()
+    lg.close()
+
+
+def test_checkpoint_torn_sidecar_warns_not_crashes(tmp_path):
+    """A truncated meta sidecar (pre-atomic-write checkpoints) must not
+    crash resume; metadata is dropped with a warning."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from ieee_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"w": jnp.ones((3,))}
+    fpath = save_checkpoint(state, str(tmp_path), epoch=7)
+    assert osp.exists(fpath + ".json")  # sidecar written (before msgpack)
+    with open(fpath + ".json", "w") as f:
+        f.write('{"epoch": 7')  # torn mid-write
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaded, meta = load_checkpoint(fpath, {"w": jnp.zeros((3,))})
+    assert meta == {}
+    assert any("sidecar" in str(x.message) for x in w)
+    np.testing.assert_array_equal(np.asarray(loaded["w"]), np.ones((3,)))
+
+
+def test_visualize_ranked_tracklets(tmp_path):
+    """data_type='video' writes per-query folders of per-rank tracklet
+    subfolders with the frames copied in (reference reidtools.py behavior),
+    instead of silently rendering first-frame strips."""
+    from PIL import Image
+
+    from ieee_tpu.utils.reidtools import visualize_ranked_results
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+
+    def tracklet(tag, n=2):
+        paths = []
+        for i in range(n):
+            p = str(frames_dir / f"{tag}_{i}.jpg")
+            Image.new("RGB", (8, 16), (i * 40, 0, 0)).save(p)
+            paths.append(p)
+        return tuple(paths)
+
+    query = [(tracklet("q0"), 0, 0), (tracklet("q1"), 1, 0)]
+    gallery = [(tracklet("g0"), 0, 1), (tracklet("g1"), 1, 1),
+               (tracklet("g2"), 2, 1)]
+    distmat = np.array([[0.1, 0.5, 0.9], [0.8, 0.2, 0.4]])
+    out = tmp_path / "vis"
+    visualize_ranked_results(distmat, (query, gallery), data_type="video",
+                             save_dir=str(out), topk=2)
+    q0 = out / "q0_0"
+    assert (q0 / "query_top000").is_dir()
+    assert (q0 / "gallery_top001_TRUE").is_dir()  # g0 shares pid 0
+    assert len(os.listdir(q0 / "query_top000")) == 2  # both frames copied
+    subdirs = sorted(p.name for p in q0.iterdir())
+    assert subdirs == ["gallery_top001_TRUE", "gallery_top002_FALSE",
+                       "query_top000"]
