@@ -214,6 +214,7 @@ def imagedata_kwargs(cfg: ConfigNode) -> dict:
         num_datasets=cfg.sampler.num_datasets,
         train_sampler=cfg.sampler.train_sampler,
         train_sampler_t=cfg.sampler.train_sampler_t,
+        seed=cfg.train.seed,
         prefetch=cfg.tpu.prefetch,
         cuhk03_labeled=cfg.cuhk03.labeled_images,
         cuhk03_classic_split=cfg.cuhk03.classic_split,
@@ -240,6 +241,7 @@ def videodata_kwargs(cfg: ConfigNode) -> dict:
         num_cams=cfg.sampler.num_cams,
         num_datasets=cfg.sampler.num_datasets,
         train_sampler=cfg.sampler.train_sampler,
+        seed=cfg.train.seed,
         prefetch=cfg.tpu.prefetch,
         seq_len=cfg.video.seq_len,
         sample_method=cfg.video.sample_method,

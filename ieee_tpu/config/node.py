@@ -101,12 +101,34 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
     if isinstance(old, bool):
         if isinstance(value, bool):
             return value
+        if isinstance(value, str):
+            # bool-defaulted knobs accept strings: truthy/falsey words
+            # coerce to bool, anything else stays a string — the bool|str
+            # union used by e.g. data.decode_cache (False | True | dir path)
+            low = value.strip().lower()
+            if low in ("true", "yes", "on", "1"):
+                return True
+            if low in ("false", "no", "off", "0", ""):
+                return False
+            return value
         raise TypeError(f"{key}: expected bool, got {type(value).__name__}")
     if isinstance(old, float) and isinstance(value, (int, float)):
         return float(value)
+    if isinstance(old, float) and isinstance(value, str):
+        # PyYAML leaves '1e-4'-style scientific notation as a string
+        # (its float resolver wants a dot); yacs accepted these via
+        # literal_eval — keep CLI overrides like 'train.lr 3e-4' working
+        try:
+            return float(value)
+        except ValueError:
+            raise TypeError(f"{key}: expected float, got {value!r}")
     if isinstance(old, int) and isinstance(value, int):
         return value
     if isinstance(old, str) and isinstance(value, str):
+        return value
+    if isinstance(old, str) and isinstance(value, bool):
+        # the other direction of the bool|str union: a knob previously set
+        # to a path (e.g. data.decode_cache) can be flipped back to a bool
         return value
     if isinstance(old, (list, tuple)):
         if isinstance(value, (list, tuple)):

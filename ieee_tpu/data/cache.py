@@ -71,11 +71,19 @@ class CachedDataset:
         return getattr(self.ds, name)
 
     def _meta_from_tuple(self, index) -> Dict[str, Any]:
+        # mirror the datasets' __getitem__ metadata exactly (base.py
+        # Image/MultiModal/Video __getitem__): impath is the FIRST path for
+        # multi-path items, and multi-modal items carry timeid — warm
+        # restarts must hand out the same dict shape as cold decodes
         entry = self.ds.data[index]
         paths, pid, camid = entry[0], entry[1], entry[2]
         dsetid = entry[3] if len(entry) > 3 else 0
-        return {"pid": pid, "camid": camid, "impath": paths,
+        impath = paths[0] if isinstance(paths, (list, tuple)) else paths
+        meta = {"pid": pid, "camid": camid, "impath": impath,
                 "dsetid": dsetid}
+        if self.multi:
+            meta["timeid"] = dsetid
+        return meta
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         if self._fill[index]:
@@ -85,7 +93,10 @@ class CachedDataset:
                 meta = self._meta_from_tuple(index)
                 with self._lock:
                     self._meta[index] = meta
-            arr = np.asarray(self._imgs[index])  # copy out of the memmap
+            # REAL copy out of the memmap (np.asarray returns a live view
+            # of the on-disk buffer; a consumer mutating it in place would
+            # permanently corrupt the persistent cache)
+            arr = np.array(self._imgs[index])
             item = dict(meta)
             item["img"] = list(arr) if self.multi else arr[0]
             return item

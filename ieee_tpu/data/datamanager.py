@@ -16,11 +16,17 @@ from .sampler import build_train_sampler
 from .transforms import build_transforms
 
 
-def _maybe_shard_per_process(sampler, global_batch: int):
+def _maybe_shard_per_process(sampler, global_batch: int, seed=None):
     """Multi-host: wrap the train sampler so this process yields its slice
     of every global batch (parallel/multihost.py). Returns the (possibly
     wrapped) sampler and the LOCAL loader batch size. Single-process (or
-    uninitialized backend): unchanged."""
+    uninitialized backend): unchanged.
+
+    ``seed`` must be set in multi-host runs: the per-process slices only
+    reassemble into the intended global batch if every process's base
+    sampler draws the IDENTICAL index stream, which requires a shared
+    explicit seed (seed=None draws from OS entropy per process — silent
+    batch corruption)."""
     try:
         # Consult jax.distributed's own state instead of jax.process_count():
         # the latter force-initializes the backend, which would break the
@@ -40,6 +46,12 @@ def _maybe_shard_per_process(sampler, global_batch: int):
         return sampler, global_batch
     if pc <= 1:
         return sampler, global_batch
+    if seed is None:
+        raise ValueError(
+            "multi-host training needs an explicit data seed "
+            "(cfg.train.seed / DataManager(seed=...)): every process must "
+            "draw the identical global index stream for the per-process "
+            "batch slices to reassemble correctly")
     from ..parallel.multihost import ProcessShardSampler
 
     wrapped = ProcessShardSampler(sampler, global_batch, pi, pc)
@@ -61,6 +73,7 @@ class DataManager:
         use_gpu=False,
         verbose=True,
         k_tfm=1,
+        seed=None,
     ):
         self.sources = [sources] if isinstance(sources, str) else sources
         if self.sources is None:
@@ -75,10 +88,11 @@ class DataManager:
             height, width, transforms=transforms, k_tfm=k_tfm,
             norm_mean=norm_mean, norm_std=norm_std, verbose=verbose,
         )
-        # host-side per-image train transform (RandomPatch pool), or None
+        # host-side per-image train transform (RandomPatch pool), or None;
+        # seeded so random_patch is reproducible alongside the samplers
         from .transforms import build_host_transform
 
-        self.host_transform_tr = build_host_transform(transforms)
+        self.host_transform_tr = build_host_transform(transforms, seed=seed)
         self.use_gpu = use_gpu  # kept for API parity
 
     @property
@@ -141,7 +155,7 @@ class ImageDataManager(DataManager):
         super().__init__(
             sources=sources, targets=targets, height=height, width=width,
             transforms=transforms, norm_mean=norm_mean, norm_std=norm_std,
-            use_gpu=use_gpu, verbose=verbose, k_tfm=k_tfm,
+            use_gpu=use_gpu, verbose=verbose, k_tfm=k_tfm, seed=seed,
         )
         self.batch_size_train = batch_size_train
         self.num_instances = num_instances
@@ -180,7 +194,7 @@ class ImageDataManager(DataManager):
         # across processes keep the global sequence identical. No-op
         # single-process.
         train_sampler_obj, local_batch_train = _maybe_shard_per_process(
-            train_sampler_obj, batch_size_train)
+            train_sampler_obj, batch_size_train, seed)
         if device_cache and local_batch_train != batch_size_train:
             raise ValueError(
                 "data.device_cache is single-process: the HBM-resident "
@@ -225,14 +239,19 @@ class ImageDataManager(DataManager):
                 (init_image_dataset(name, **common) for name in self.targets[1:]),
                 init_image_dataset(self.targets[0], **common),
             )
+            sampler_t = build_train_sampler(
+                trainset_t.train, train_sampler_t,
+                batch_size=batch_size_train, num_instances=num_instances,
+                seed=seed,
+            )
+            # multi-host: the target loader shards per process like the
+            # source loader
+            sampler_t, local_batch_t = _maybe_shard_per_process(
+                sampler_t, batch_size_train, seed)
             self.train_loader_t = DataLoader(
                 trainset_t,
-                build_train_sampler(
-                    trainset_t.train, train_sampler_t,
-                    batch_size=batch_size_train, num_instances=num_instances,
-                    seed=seed,
-                ),
-                batch_size=batch_size_train,
+                sampler_t,
+                batch_size=local_batch_t,
                 drop_last=True,
                 workers=workers,
                 prefetch=prefetch,
@@ -307,12 +326,13 @@ class VideoDataManager(DataManager):
         super().__init__(
             sources=sources, targets=targets, height=height, width=width,
             transforms=transforms, norm_mean=norm_mean, norm_std=norm_std,
-            use_gpu=use_gpu, verbose=verbose,
+            use_gpu=use_gpu, verbose=verbose, seed=seed,
         )
         common = dict(
             mode="train", combineall=combineall, root=root, split_id=split_id,
             height=height, width=width, seq_len=seq_len,
-            sample_method=sample_method, verbose=verbose, **dataset_kwargs,
+            sample_method=sample_method, seed=seed, verbose=verbose,
+            **dataset_kwargs,
         )
         trainset = sum(
             (init_video_dataset(name, **common) for name in self.sources[1:]),
@@ -329,7 +349,7 @@ class VideoDataManager(DataManager):
                 trainset.train, train_sampler, batch_size=batch_size_train,
                 num_instances=num_instances, num_cams=num_cams,
                 num_datasets=num_datasets, seed=seed,
-            ), batch_size_train)
+            ), batch_size_train, seed)
         self.train_loader = DataLoader(
             trainset,
             video_sampler,
@@ -346,12 +366,14 @@ class VideoDataManager(DataManager):
             qset = init_video_dataset(
                 name, mode="query", combineall=combineall, root=root,
                 split_id=split_id, height=height, width=width, seq_len=seq_len,
-                sample_method=sample_method, verbose=False, **dataset_kwargs,
+                sample_method=sample_method, seed=seed, verbose=False,
+                **dataset_kwargs,
             )
             gset = init_video_dataset(
                 name, mode="gallery", combineall=combineall, root=root,
                 split_id=split_id, height=height, width=width, seq_len=seq_len,
-                sample_method=sample_method, verbose=False, **dataset_kwargs,
+                sample_method=sample_method, seed=seed, verbose=False,
+                **dataset_kwargs,
             )
             mk = lambda ds: DataLoader(
                 ds, sampler=range(len(ds)), batch_size=batch_size_test,

@@ -282,9 +282,17 @@ class VideoDataset(Dataset):
     (reference ``dataset.py:418-532``). Samples ``seq_len`` frames."""
 
     def __init__(self, train, query, gallery, seq_len=15,
-                 sample_method="evenly", **kwargs):
+                 sample_method="evenly", seed=None, **kwargs):
         self.seq_len = seq_len
         self.sample_method = sample_method
+        # seeded instance Generator (module convention) instead of the
+        # global np.random: 'random' frame draws reproduce under a fixed
+        # seed with workers=0; with a worker pool the draw ORDER follows
+        # thread interleaving (same caveat as RandomPatchPool)
+        import threading
+
+        self._rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
         super().__init__(train, query, gallery, **kwargs)
 
     def __getitem__(self, index):
@@ -293,9 +301,10 @@ class VideoDataset(Dataset):
         if self.sample_method == "random":
             indices = np.arange(num)
             replace = num < self.seq_len
-            indices = np.sort(
-                np.random.choice(indices, size=self.seq_len, replace=replace)
-            )
+            with self._rng_lock:
+                choice = self._rng.choice(indices, size=self.seq_len,
+                                          replace=replace)
+            indices = np.sort(choice)
         elif self.sample_method == "evenly":
             if num >= self.seq_len:
                 step = num // self.seq_len

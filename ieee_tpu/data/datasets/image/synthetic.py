@@ -73,9 +73,12 @@ def _render(path: str, height: int, width: int) -> np.ndarray:
         img += rng.normal(0.0, 24.0, size=img.shape)
         return np.clip(img, 0, 255).astype(np.uint8)
     base = rng.integers(0, 256, size=(8, 4, 3), dtype=np.uint8)
-    img = np.kron(base, np.ones((height // 8, width // 4, 1), dtype=np.uint8))
+    # ceil-divide so any (height, width) is covered, then crop — floor
+    # division under-covered sizes not divisible by 8/4 (broadcast crash)
+    img = np.kron(base, np.ones((-(-height // 8), -(-width // 4), 1),
+                                dtype=np.uint8))[:height, :width]
     noise = rng.integers(0, 32, size=(height, width, 3), dtype=np.uint8)
-    return np.clip(img[:height, :width] + noise, 0, 255).astype(np.uint8)
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
 class _SyntheticMixin:
@@ -129,7 +132,8 @@ class SyntheticVideo(_SyntheticMixin, VideoDataset):
         query = make(num_pids // 2)
         gallery = make(num_pids // 2)
         kwargs.setdefault("verbose", False)
-        super().__init__(train, query, gallery, **kwargs)
+        # forward the seed: VideoDataset uses it for 'random' frame draws
+        super().__init__(train, query, gallery, seed=seed, **kwargs)
 
 
 class SyntheticMM(_SyntheticMixin, MultiModalImageDataset):

@@ -124,9 +124,12 @@ class RandomDomainSampler:
         self.batch_size = batch_size
         self.n_domain = n_domain
         self.rng = np.random.default_rng(seed)
-        self.length = len(data_source)
+        # exact stream length, as the reference (sampler.py:112-113)
+        # materializes one draw — len(data_source) overestimates when
+        # domains are imbalanced (iteration stops at the first depleted one)
+        self.length = len(self._draw())
 
-    def __iter__(self):
+    def _draw(self) -> List[int]:
         domain_dict = {d: list(v) for d, v in self.domain_dict.items()}
         final_idxs: List[int] = []
         stop = False
@@ -144,7 +147,10 @@ class RandomDomainSampler:
                     final_idxs.append(idxs.pop(t))
                 if len(idxs) < self.n_img_per_domain:
                     stop = True
-        return iter(final_idxs)
+        return final_idxs
+
+    def __iter__(self):
+        return iter(self._draw())
 
     def __len__(self):
         return self.length
@@ -165,9 +171,10 @@ class RandomDatasetSampler:
         self.n_img_per_dset = batch_size // n_dataset
         self.n_dataset = n_dataset
         self.rng = np.random.default_rng(seed)
-        self.length = len(data_source)
+        # exact stream length (see RandomDomainSampler.length)
+        self.length = len(self._draw())
 
-    def __iter__(self):
+    def _draw(self) -> List[int]:
         ds_dict = {d: list(v) for d, v in self.ds_dict.items()}
         final_idxs: List[int] = []
         stop = False
@@ -185,7 +192,10 @@ class RandomDatasetSampler:
                     final_idxs.append(idxs.pop(t))
                 if len(idxs) < self.n_img_per_dset:
                     stop = True
-        return iter(final_idxs)
+        return final_idxs
+
+    def __iter__(self):
+        return iter(self._draw())
 
     def __len__(self):
         return self.length

@@ -78,12 +78,11 @@ def main():
     print(f"Show configuration\n{cfg.dump()}")
     print(f"Collecting env info ...\n** System info **\n{collect_env_info()}\n")
 
+    # seed rides in the kwargs adapters (cfg.train.seed)
     if cfg.data.type == "video":
-        datamanager = VideoDataManager(seed=cfg.train.seed,
-                                       **videodata_kwargs(cfg))
+        datamanager = VideoDataManager(**videodata_kwargs(cfg))
     else:
-        datamanager = ImageDataManager(seed=cfg.train.seed,
-                                       **imagedata_kwargs(cfg))
+        datamanager = ImageDataManager(**imagedata_kwargs(cfg))
 
     print(f"Building model: {cfg.model.name}")
     extra = {}

@@ -82,3 +82,41 @@ def test_ieee_ablation_flags_in_config():
     cfg2.merge_from_file(osp.join(REPO, "configs", "rgbnt_cim_softmax.yaml"))
     assert cfg2.model.interaction is True
     assert cfg2.model.using_REM is False
+
+
+def test_cli_scientific_notation_floats():
+    """'train.lr 3e-4'-style overrides must work: PyYAML leaves such
+    strings unparsed and yacs accepted them via literal_eval."""
+    from ieee_tpu.config import get_default_config
+
+    cfg = get_default_config()
+    cfg.merge_from_list(["train.lr", "3e-4", "train.weight_decay", "1E-5"])
+    assert cfg.train.lr == 3e-4
+    assert cfg.train.weight_decay == 1e-5
+
+
+def test_bool_knobs_accept_strings():
+    """bool-defaulted knobs take truthy/falsey words, and anything else
+    stays a string — the bool|str union data.decode_cache documents
+    (False | True | cache directory path)."""
+    from ieee_tpu.config import get_default_config
+
+    cfg = get_default_config()
+    cfg.merge_from_list(["data.decode_cache", "/data/cache"])
+    assert cfg.data.decode_cache == "/data/cache"
+    cfg.merge_from_list(["data.decode_cache", "true"])
+    assert cfg.data.decode_cache is True
+    cfg.merge_from_list(["data.decode_cache", "false"])
+    assert cfg.data.decode_cache is False
+
+
+def test_kwargs_adapters_carry_seed():
+    """cfg.train.seed rides into the datamanager kwargs (multi-host needs
+    every process to share it; random_patch and samplers consume it)."""
+    from ieee_tpu.config import (get_default_config, imagedata_kwargs,
+                                 videodata_kwargs)
+
+    cfg = get_default_config()
+    cfg.train.seed = 7
+    assert imagedata_kwargs(cfg)["seed"] == 7
+    assert videodata_kwargs(cfg)["seed"] == 7

@@ -587,3 +587,98 @@ def test_decode_cache_through_datamanager():
         np.testing.assert_array_equal(a["pid"], b["pid"])
         for x, y in zip(a["img"], b["img"]):
             np.testing.assert_array_equal(x, y)
+
+
+def test_decode_cache_warm_restart_meta_matches_cold(tmp_path):
+    """Warm-restart cache hits (meta rebuilt from the dataset tuples) must
+    return the SAME dict shape/values as a cold decode: impath is the first
+    path string, and multi-modal items carry timeid."""
+    import numpy as np
+
+    from ieee_tpu.data.cache import CachedDataset
+    from ieee_tpu.data.datasets import init_image_dataset
+
+    ds = init_image_dataset("synthetic_mm", mode="train", root="", height=32,
+                            width=16, num_pids=3, imgs_per_pid=2,
+                            verbose=False)
+    CachedDataset(ds, str(tmp_path))[0]  # fill entry 0, drop the instance
+    warm = CachedDataset(ds, str(tmp_path))  # fresh instance: no meta dict
+    assert warm._fill[0]
+    a, b = ds[0], warm[0]
+    assert set(a.keys()) == set(b.keys())
+    assert a["impath"] == b["impath"] and isinstance(b["impath"], str)
+    assert a["timeid"] == b["timeid"]
+    assert a["pid"] == b["pid"] and a["camid"] == b["camid"]
+    np.testing.assert_array_equal(np.stack(a["img"]), np.stack(b["img"]))
+
+
+def test_decode_cache_hits_are_copies(tmp_path):
+    """Cache hits must hand out COPIES: a consumer mutating the array in
+    place must not corrupt the persistent on-disk cache."""
+    import numpy as np
+
+    from ieee_tpu.data.cache import CachedDataset
+    from ieee_tpu.data.datasets import init_image_dataset
+
+    ds = init_image_dataset("synthetic", mode="train", root="", height=32,
+                            width=16, num_pids=2, imgs_per_pid=2,
+                            verbose=False)
+    cached = CachedDataset(ds, str(tmp_path))
+    cached[0]  # fill
+    hit = cached[0]  # memmap hit
+    orig = hit["img"].copy()
+    hit["img"][:] = 0  # consumer scribbles on the array
+    np.testing.assert_array_equal(cached[0]["img"], orig)
+
+
+def test_synthetic_render_any_size():
+    """Non-multiple-of-8/4 sizes used to crash the plain synthetic render
+    (floor-division kron vs full-size noise)."""
+    from ieee_tpu.data.datasets import init_image_dataset
+
+    ds = init_image_dataset("synthetic", mode="train", root="", height=100,
+                            width=50, num_pids=2, imgs_per_pid=2,
+                            verbose=False)
+    item = ds[0]
+    assert item["img"].shape == (100, 50, 3)
+    ds_c = init_image_dataset("synthetic", mode="train", root="", height=100,
+                              width=50, num_pids=2, imgs_per_pid=2,
+                              correlated=True, verbose=False)
+    assert ds_c[0]["img"].shape == (100, 50, 3)
+
+
+def test_domain_sampler_len_is_exact():
+    """RandomDomainSampler.__len__ must equal the yielded stream length
+    even with imbalanced domains (the reference materializes one draw;
+    len(data_source) overestimates)."""
+    from ieee_tpu.data.sampler import RandomDatasetSampler, RandomDomainSampler
+
+    # camid 0: 4 items, camid 1: 40 items -> iteration stops early
+    data = [("p", 0, 0, 0)] * 4 + [("p", 0, 1, 0)] * 40
+    s = RandomDomainSampler(data, batch_size=4, n_domain=2, seed=0)
+    stream = list(s)
+    assert len(s) == len(stream)
+    assert len(s) < len(data)
+    # dataset-balanced flavor: dsetid in slot 3
+    data = [("p", 0, 0, 0)] * 4 + [("p", 0, 0, 1)] * 40
+    s = RandomDatasetSampler(data, batch_size=4, n_dataset=2, seed=0)
+    assert len(s) == len(list(s))
+
+
+def test_video_random_frame_sampling_seeded():
+    """sample_method='random' draws from a seeded per-dataset Generator:
+    same seed -> same frame subsets; different seed -> different."""
+    import numpy as np
+
+    from ieee_tpu.data.datasets import init_video_dataset
+
+    def frames(seed):
+        ds = init_video_dataset("synthetic_video", mode="train", root="",
+                                height=32, width=16, num_pids=2,
+                                tracklets_per_pid=2, frames_per_tracklet=9,
+                                seq_len=4, sample_method="random", seed=seed,
+                                verbose=False)
+        return np.stack([ds[i]["img"] for i in range(len(ds))])
+
+    np.testing.assert_array_equal(frames(0), frames(0))
+    assert not np.array_equal(frames(0), frames(1))
