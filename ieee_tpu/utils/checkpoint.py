@@ -52,7 +52,7 @@ def save_checkpoint(
     _atomic_json(fpath + ".json", meta)
     tmp = fpath + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(flax.serialization.to_bytes(state))
+        f.write(flax.serialization.to_bytes(_pull_to_host(state)))
     os.replace(tmp, fpath)
     print(f'Checkpoint saved to "{fpath}"')
     if is_best:
@@ -61,6 +61,27 @@ def save_checkpoint(
         shutil.copy(fpath, best + ".tmp")
         os.replace(best + ".tmp", best)
     return fpath
+
+
+def _pull_to_host(state: Any) -> Any:
+    """Pull a device pytree to host numpy ONE LEAF AT A TIME.
+
+    ``flax.serialization.to_bytes`` on a device tree triggers a single
+    batched device->host transfer of the whole state (~0.9 GB for the IEEE
+    train state: params + optimizer moments + batch_stats). The axon PJRT
+    tunnel has been observed to wedge on very large single transfers
+    (2026-08-18: checkpoint save froze with zero CPU accrual right after
+    eval); the ship direction is already chunked into 48 MB slabs
+    (``engine/device_cache``) for the same reason. Per-leaf ``np.asarray``
+    keeps every pull bounded by the largest parameter (~16-64 MB) at the
+    cost of one round trip per leaf (~2 ms each, ~1.5 s for ~700 leaves).
+    """
+    import jax
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state
+    )
 
 
 def _atomic_json(path: str, obj: dict) -> None:
