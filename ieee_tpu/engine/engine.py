@@ -443,6 +443,7 @@ class Engine:
         ranks=(1, 5, 10, 20),
         rerank: bool = False,
         resume: str = "",
+        save_freq: int = -1,
     ) -> float:
         # observability: JSONL metrics stream (the reference's TensorBoard
         # writer was dead code, engine.py:192-193; this one works)
@@ -490,7 +491,19 @@ class Engine:
                 )
                 is_best = rank1 > best_rank1
                 best_rank1 = max(best_rank1, rank1)
-                self.save_model(self.epoch, rank1, save_dir, is_best=is_best)
+                # save_freq (TPU extra; default -1 = reference behavior,
+                # save at every eval): a full-train-state checkpoint is a
+                # ~1.6 GB device->host pull — expensive through a remote
+                # PJRT tunnel — so long runs can decouple save cadence
+                # from eval cadence. The last epoch always saves.
+                should_save = (
+                    save_freq <= 0
+                    or (self.epoch + 1) % save_freq == 0
+                    or is_last
+                )
+                if should_save:
+                    self.save_model(self.epoch, rank1, save_dir,
+                                    is_best=is_best)
 
         elapsed = round(time.time() - time_start)
         import datetime

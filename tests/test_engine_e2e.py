@@ -45,6 +45,29 @@ def test_single_modal_softmax_train_and_eval(tmp_path):
                os.listdir(tmp_path / "model"))
 
 
+def test_save_freq_decouples_checkpoints_from_evals(tmp_path, capsys):
+    """save_freq (TPU extra: full-state saves are ~1.6 GB device pulls)
+    checkpoints every N epochs while evals keep their own cadence; the
+    final epoch always saves."""
+    import os
+
+    dm = _make_dm("synthetic")
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    tx = build_optimizer(optim="sgd", lr=0.01, momentum=0.9)
+    sched = build_lr_scheduler("single_step", stepsize=20, base_lr=0.01)
+    eng = ImageSoftmaxEngine(dm, model, optimizer=tx, scheduler=sched, seed=0)
+
+    eng.run(save_dir=str(tmp_path), max_epoch=3, eval_freq=1, save_freq=2,
+            print_freq=10, ranks=(1,))
+    saved = sorted(f for f in os.listdir(tmp_path / "model")
+                   if f.startswith("model.msgpack-") and
+                   not f.endswith(".json"))
+    # evals at 1,2,3; saves only at 2 (freq) and 3 (final)
+    assert saved == ["model.msgpack-2", "model.msgpack-3"], saved
+    assert capsys.readouterr().out.count("** Results **") == 3
+
+
 def test_loss_decreases_single_modal():
     dm = _make_dm("synthetic")
     model = build_model("resnet18", num_classes=dm.num_train_pids,

@@ -115,6 +115,12 @@ def main():
                          "(checkpoints land at eval epochs); fresh run if "
                          "none exists. Keeps metrics.jsonl (the distiller "
                          "dedupes re-run epochs by keeping the last record)")
+    ap.add_argument("--save-freq", type=int, default=100,
+                    help="checkpoint every N epochs (plus the final epoch); "
+                         "evals still run every --eval-freq. A full-state "
+                         "save is a ~1.6 GB device pull (~3 min through the "
+                         "axon tunnel), so saving at every eval dominates "
+                         "the run. 0 = save at every eval")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
     ap.add_argument("--distill-only", action="store_true",
@@ -226,11 +232,31 @@ def main():
 
     stop_snap = threading.Event()
 
+    def _prune_checkpoints(keep: int = 2):
+        # bound save_dir growth: each epoch file is ~1.6 GB; a 600-epoch
+        # suite across 5 variants would otherwise exceed the disk. The
+        # newest `keep` epoch files cover resume; model-best.msgpack is a
+        # separate file and never pruned.
+        import glob
+        import re
+
+        cands = [(int(m.group(1)), p)
+                 for p in glob.glob(
+                     osp.join(args.save_dir, "model", "model.msgpack-*"))
+                 for m in [re.search(r"-(\d+)$", p)] if m]
+        for _, path in sorted(cands)[:-keep] if len(cands) > keep else []:
+            for f in (path, path + ".json"):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
     def _snapshot():
         while not stop_snap.wait(60.0):
             try:
                 distill(args.save_dir, args.out, protocol, None,
                         time.time() - t0, complete=False, quiet=True)
+                _prune_checkpoints()
             except Exception:
                 pass
 
@@ -241,7 +267,7 @@ def main():
     try:
         final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
                               eval_freq=args.eval_freq, print_freq=5,
-                              resume=resume_path)
+                              save_freq=args.save_freq, resume=resume_path)
         complete = True
     finally:
         # stop AND JOIN the snapshotter before the final distill: both
