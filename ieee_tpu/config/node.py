@@ -94,6 +94,13 @@ def _parse_literal(s: str) -> Any:
         return s
 
 
+#: Knobs declared as a bool|str union (False | True | string payload).
+#: Only these may cross the bool<->str boundary in _coerce — every other
+#: bool knob must stay strictly typed so a YAML typo like
+#: ``tpu.donate: "ture"`` raises instead of silently becoming truthy.
+_BOOL_STR_UNION_KEYS = frozenset({"data.decode_cache"})
+
+
 def _coerce(value: Any, old: Any, key: str) -> Any:
     """Type-check a replacement value against the default, yacs-style."""
     if old is None or value is None:
@@ -102,16 +109,17 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         if isinstance(value, bool):
             return value
         if isinstance(value, str):
-            # bool-defaulted knobs accept strings: truthy/falsey words
-            # coerce to bool, anything else stays a string — the bool|str
-            # union used by e.g. data.decode_cache (False | True | dir path)
+            # truthy/falsey words coerce to bool for every knob (yacs-style
+            # CLI convenience); arbitrary strings are only legal on the
+            # declared bool|str unions (data.decode_cache: dir path)
             low = value.strip().lower()
             if low in ("true", "yes", "on", "1"):
                 return True
             if low in ("false", "no", "off", "0", ""):
                 return False
-            return value
-        raise TypeError(f"{key}: expected bool, got {type(value).__name__}")
+            if key in _BOOL_STR_UNION_KEYS:
+                return value
+        raise TypeError(f"{key}: expected bool, got {value!r}")
     if isinstance(old, float) and isinstance(value, (int, float)):
         return float(value)
     if isinstance(old, float) and isinstance(value, str):
@@ -126,9 +134,10 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         return value
     if isinstance(old, str) and isinstance(value, str):
         return value
-    if isinstance(old, str) and isinstance(value, bool):
+    if (isinstance(old, str) and isinstance(value, bool)
+            and key in _BOOL_STR_UNION_KEYS):
         # the other direction of the bool|str union: a knob previously set
-        # to a path (e.g. data.decode_cache) can be flipped back to a bool
+        # to a path (data.decode_cache) can be flipped back to a bool
         return value
     if isinstance(old, (list, tuple)):
         if isinstance(value, (list, tuple)):

@@ -78,7 +78,9 @@ def _render(path: str, height: int, width: int) -> np.ndarray:
     img = np.kron(base, np.ones((-(-height // 8), -(-width // 4), 1),
                                 dtype=np.uint8))[:height, :width]
     noise = rng.integers(0, 32, size=(height, width, 3), dtype=np.uint8)
-    return np.clip(img + noise, 0, 255).astype(np.uint8)
+    # widen before adding: uint8 + uint8 wraps mod 256 (pixel 240 + noise 30
+    # would flip to 14) and the clip would never fire
+    return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
 
 class _SyntheticMixin:

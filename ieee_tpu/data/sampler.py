@@ -126,7 +126,11 @@ class RandomDomainSampler:
         self.rng = np.random.default_rng(seed)
         # exact stream length, as the reference (sampler.py:112-113)
         # materializes one draw — len(data_source) overestimates when
-        # domains are imbalanced (iteration stops at the first depleted one)
+        # domains are imbalanced (iteration stops at the first depleted
+        # one). With n_domain < len(domains) each round samples a random
+        # domain subset, so later draws can differ in length from this
+        # probe; the number is display-only (ETA / len(loader)), matching
+        # the reference's identical one-draw estimate.
         self.length = len(self._draw())
 
     def _draw(self) -> List[int]:

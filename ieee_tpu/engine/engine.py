@@ -444,6 +444,7 @@ class Engine:
         rerank: bool = False,
         resume: str = "",
         save_freq: int = -1,
+        save_best: bool = True,
     ) -> float:
         # observability: JSONL metrics stream (the reference's TensorBoard
         # writer was dead code, engine.py:192-193; this one works)
@@ -481,6 +482,7 @@ class Engine:
             )
             # divergence from reference: the last epoch IS evaluated + saved
             # (reference drops it, engine.py:216)
+            is_best = False
             if should_eval or is_last:
                 rank1 = self.test(
                     dist_metric=dist_metric,
@@ -491,19 +493,26 @@ class Engine:
                 )
                 is_best = rank1 > best_rank1
                 best_rank1 = max(best_rank1, rank1)
-                # save_freq (TPU extra; default -1 = reference behavior,
-                # save at every eval): a full-train-state checkpoint is a
-                # ~1.6 GB device->host pull — expensive through a remote
-                # PJRT tunnel — so long runs can decouple save cadence
-                # from eval cadence. The last epoch always saves.
+            # save_freq (TPU extra; default -1 = reference behavior, save
+            # at every eval): a full-train-state checkpoint is a ~1.6 GB
+            # device->host pull — expensive through a remote PJRT tunnel —
+            # so long runs can decouple save cadence from eval cadence.
+            # With save_freq > 0, checkpoints land every N epochs
+            # regardless of eval_freq (rank1 in the sidecar is then the
+            # LAST eval's value), the final epoch always saves, and
+            # best-eval epochs also save (so model-best.msgpack holds the
+            # best weights) unless save_best=False opts out of that pull.
+            if save_freq <= 0:
+                should_save = should_eval or is_last
+            else:
                 should_save = (
-                    save_freq <= 0
-                    or (self.epoch + 1) % save_freq == 0
+                    (self.epoch + 1) % save_freq == 0
                     or is_last
+                    or (is_best and save_best)
                 )
-                if should_save:
-                    self.save_model(self.epoch, rank1, save_dir,
-                                    is_best=is_best)
+            if should_save:
+                self.save_model(self.epoch, rank1, save_dir,
+                                is_best=is_best)
 
         elapsed = round(time.time() - time_start)
         import datetime

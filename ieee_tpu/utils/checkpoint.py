@@ -24,6 +24,7 @@ from .tools import mkdir_if_missing
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "list_checkpoints",
     "resume_from_checkpoint",
     "load_pretrained_weights",
 ]
@@ -91,17 +92,27 @@ def _atomic_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _latest_checkpoint(dirpath: str) -> Optional[str]:
+def list_checkpoints(dirpath: str) -> list:
+    """All epoch checkpoints in ``dirpath`` as ``[(epoch, path)]``, sorted
+    ascending by epoch. The single parser of the ``model.msgpack-<epoch>``
+    filename convention — resume, latest-lookup, and pruning all go
+    through here."""
     if not osp.isdir(dirpath):
-        return None
-    cands = [
-        f for f in os.listdir(dirpath)
-        if f.startswith("model.msgpack-") and not f.endswith((".json", ".tmp"))
-    ]
-    if not cands:
-        return None
-    cands.sort(key=lambda f: int(f.rsplit("-", 1)[1]))
-    return osp.join(dirpath, cands[-1])
+        return []
+    out = []
+    for f in os.listdir(dirpath):
+        if not f.startswith("model.msgpack-") or f.endswith((".json", ".tmp")):
+            continue
+        tail = f.rsplit("-", 1)[1]
+        if tail.isdigit():
+            out.append((int(tail), osp.join(dirpath, f)))
+    out.sort()
+    return out
+
+
+def _latest_checkpoint(dirpath: str) -> Optional[str]:
+    cands = list_checkpoints(dirpath)
+    return cands[-1][1] if cands else None
 
 
 def load_checkpoint(fpath: str, template: Any) -> Tuple[Any, dict]:

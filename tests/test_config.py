@@ -108,6 +108,15 @@ def test_bool_knobs_accept_strings():
     assert cfg.data.decode_cache is True
     cfg.merge_from_list(["data.decode_cache", "false"])
     assert cfg.data.decode_cache is False
+    # the union is DECLARED per-knob: every other bool knob still rejects
+    # arbitrary strings (a YAML typo like donate: "ture" must not silently
+    # become truthy), and str knobs reject YAML bools at merge time
+    import pytest
+
+    with pytest.raises(TypeError):
+        cfg.merge_from_list(["tpu.donate", "ture"])
+    with pytest.raises(TypeError):
+        cfg.merge_from_list(["model.name", "true"])
 
 
 def test_kwargs_adapters_carry_seed():

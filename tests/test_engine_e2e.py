@@ -45,10 +45,10 @@ def test_single_modal_softmax_train_and_eval(tmp_path):
                os.listdir(tmp_path / "model"))
 
 
-def test_save_freq_decouples_checkpoints_from_evals(tmp_path, capsys):
-    """save_freq (TPU extra: full-state saves are ~1.6 GB device pulls)
-    checkpoints every N epochs while evals keep their own cadence; the
-    final epoch always saves."""
+def _run_save_freq_case(tmp_path, eval_freq, save_freq, save_best,
+                        eval_values, max_epoch):
+    """Drive Engine.run with a scripted eval (deterministic is_best) and
+    return the saved epoch numbers."""
     import os
 
     dm = _make_dm("synthetic")
@@ -57,15 +57,40 @@ def test_save_freq_decouples_checkpoints_from_evals(tmp_path, capsys):
     tx = build_optimizer(optim="sgd", lr=0.01, momentum=0.9)
     sched = build_lr_scheduler("single_step", stepsize=20, base_lr=0.01)
     eng = ImageSoftmaxEngine(dm, model, optimizer=tx, scheduler=sched, seed=0)
+    vals = iter(eval_values)
+    eng.test = lambda **kw: next(vals)
 
-    eng.run(save_dir=str(tmp_path), max_epoch=3, eval_freq=1, save_freq=2,
-            print_freq=10, ranks=(1,))
-    saved = sorted(f for f in os.listdir(tmp_path / "model")
-                   if f.startswith("model.msgpack-") and
-                   not f.endswith(".json"))
-    # evals at 1,2,3; saves only at 2 (freq) and 3 (final)
-    assert saved == ["model.msgpack-2", "model.msgpack-3"], saved
-    assert capsys.readouterr().out.count("** Results **") == 3
+    eng.run(save_dir=str(tmp_path), max_epoch=max_epoch, eval_freq=eval_freq,
+            save_freq=save_freq, save_best=save_best, print_freq=10,
+            ranks=(1,))
+    return sorted(
+        int(f.rsplit("-", 1)[1]) for f in os.listdir(tmp_path / "model")
+        if f.startswith("model.msgpack-") and not f.endswith(".json"))
+
+
+def test_save_freq_decouples_checkpoints_from_evals(tmp_path):
+    """save_freq (TPU extra: full-state saves are ~1.6 GB device pulls)
+    checkpoints every N epochs INDEPENDENT of eval cadence; best-eval
+    epochs and the final epoch also save."""
+    import os
+
+    # evals at 3 and 6 (scripted: 6 is NOT an improvement); saves at 2, 4
+    # (freq, non-eval epochs), 3 (first eval is always best) and 6 (final)
+    saved = _run_save_freq_case(tmp_path, eval_freq=3, save_freq=2,
+                                save_best=True, eval_values=[10.0, 5.0],
+                                max_epoch=6)
+    assert saved == [2, 3, 4, 6], saved
+    assert os.path.exists(tmp_path / "model" / "model-best.msgpack")
+
+
+def test_save_freq_save_best_false_skips_best_pull(tmp_path):
+    """save_best=False (what tools/train_e2e.py passes: the artifact is
+    metrics.jsonl, checkpoints exist only for resume) drops the best-eval
+    save; only freq and final epochs checkpoint."""
+    saved = _run_save_freq_case(tmp_path, eval_freq=3, save_freq=2,
+                                save_best=False, eval_values=[10.0, 5.0],
+                                max_epoch=6)
+    assert saved == [2, 4, 6], saved
 
 
 def test_loss_decreases_single_modal():

@@ -112,15 +112,19 @@ def main():
     ap.add_argument("--save-dir", type=str, default="/tmp/e2e_train")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint in save-dir "
-                         "(checkpoints land at eval epochs); fresh run if "
-                         "none exists. Keeps metrics.jsonl (the distiller "
-                         "dedupes re-run epochs by keeping the last record)")
+                         "(checkpoints land every --save-freq epochs); "
+                         "fresh run if none exists. Keeps metrics.jsonl "
+                         "(the distiller dedupes re-run epochs by keeping "
+                         "the last record)")
     ap.add_argument("--save-freq", type=int, default=100,
-                    help="checkpoint every N epochs (plus the final epoch); "
-                         "evals still run every --eval-freq. A full-state "
-                         "save is a ~1.6 GB device pull (~3 min through the "
-                         "axon tunnel), so saving at every eval dominates "
-                         "the run. 0 = save at every eval")
+                    help="checkpoint every N epochs (plus the final epoch), "
+                         "independent of --eval-freq. A full-state save is "
+                         "a ~1.6 GB device pull (~3 min through the axon "
+                         "tunnel), so saving at every eval dominates the "
+                         "run; best-eval epochs are also skipped here "
+                         "(save_best=False — the artifact is metrics.jsonl, "
+                         "checkpoints exist only for resume). 0 = save at "
+                         "every eval")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
     ap.add_argument("--distill-only", action="store_true",
@@ -198,14 +202,11 @@ def main():
 
     resume_path = ""
     if args.resume:
-        import glob
-        import re
+        from ieee_tpu.utils.checkpoint import list_checkpoints
 
-        cands = glob.glob(osp.join(args.save_dir, "model", "model.msgpack-*"))
-        epochs_found = [(int(m.group(1)), p) for p in cands
-                        for m in [re.search(r"-(\d+)$", p)] if m]
-        if epochs_found:
-            resume_path = max(epochs_found)[1]
+        cands = list_checkpoints(osp.join(args.save_dir, "model"))
+        if cands:
+            resume_path = cands[-1][1]
             print(f"resuming from {resume_path}")
 
     # metrics.jsonl is append-mode (Engine._log_metrics): on a fresh run,
@@ -237,14 +238,10 @@ def main():
         # suite across 5 variants would otherwise exceed the disk. The
         # newest `keep` epoch files cover resume; model-best.msgpack is a
         # separate file and never pruned.
-        import glob
-        import re
+        from ieee_tpu.utils.checkpoint import list_checkpoints
 
-        cands = [(int(m.group(1)), p)
-                 for p in glob.glob(
-                     osp.join(args.save_dir, "model", "model.msgpack-*"))
-                 for m in [re.search(r"-(\d+)$", p)] if m]
-        for _, path in sorted(cands)[:-keep] if len(cands) > keep else []:
+        cands = list_checkpoints(osp.join(args.save_dir, "model"))
+        for _, path in cands[:-keep]:
             for f in (path, path + ".json"):
                 try:
                     os.remove(f)
@@ -267,7 +264,8 @@ def main():
     try:
         final_rank1 = eng.run(save_dir=args.save_dir, max_epoch=args.epochs,
                               eval_freq=args.eval_freq, print_freq=5,
-                              save_freq=args.save_freq, resume=resume_path)
+                              save_freq=args.save_freq, save_best=False,
+                              resume=resume_path)
         complete = True
     finally:
         # stop AND JOIN the snapshotter before the final distill: both
@@ -278,6 +276,8 @@ def main():
         snap_thread.join(timeout=30.0)
         distill(args.save_dir, args.out, protocol, final_rank1,
                 time.time() - t0, complete)
+        # the final-epoch save lands after the snapshot loop's last prune
+        _prune_checkpoints()
 
 
 if __name__ == "__main__":
