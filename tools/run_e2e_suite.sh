@@ -30,6 +30,12 @@ S1=$((EPOCHS / 2)); S2=$((EPOCHS * 3 / 4))
 run() { # run <tag> <variant> <out> [extra args...]
   local tag="$1" v="$2" out="$3"; shift 3
   local attempt rc age pid vlog="/tmp/e2e_${tag}_run.log"
+  # idempotent across suite restarts (the tunnel dies for hours at a time):
+  # a variant whose committed artifact is already complete is not re-run
+  if grep -q '"complete": true' "$out" 2>/dev/null; then
+    echo "=== variant $tag -> $out already complete, skipping ==="
+    return 0
+  fi
   rm -rf "/tmp/e2e_$tag"  # once per suite invocation; retries RESUME
   rm -f "$out"            # a stale artifact must not mask a failed attempt
   for attempt in 1 2 3; do
