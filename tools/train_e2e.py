@@ -125,6 +125,14 @@ def main():
                          "(save_best=False — the artifact is metrics.jsonl, "
                          "checkpoints exist only for resume). 0 = save at "
                          "every eval")
+    ap.add_argument("--init-from", type=str, default="",
+                    help="warm-start params/batch_stats from a checkpoint "
+                         "or bare {params,batch_stats} msgpack (tolerant "
+                         "partial load — e.g. a trained base-variant trunk "
+                         "under a full-variant model, mirroring the "
+                         "reference's ImageNet warm-start protocol). "
+                         "Optimizer state starts fresh; --resume, when a "
+                         "checkpoint exists in save-dir, takes precedence")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
     ap.add_argument("--distill-only", action="store_true",
@@ -208,6 +216,17 @@ def main():
         if cands:
             resume_path = cands[-1][1]
             print(f"resuming from {resume_path}")
+
+    if args.init_from and not resume_path:
+        from ieee_tpu.utils.checkpoint import load_pretrained_weights
+
+        var = load_pretrained_weights(
+            {"params": eng.state.params, "batch_stats": eng.state.batch_stats},
+            args.init_from)
+        eng.state = eng._place_state(eng.state.replace(
+            params=var["params"], batch_stats=var["batch_stats"]))
+    if args.init_from:
+        protocol["init_from"] = args.init_from
 
     # metrics.jsonl is append-mode (Engine._log_metrics): on a fresh run,
     # clear any record of a prior run in this save_dir so the artifact
