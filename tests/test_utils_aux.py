@@ -93,6 +93,46 @@ def test_load_pretrained_weights_partial(tmp_path):
     assert merged["params"]["classifier"]["kernel"].shape[-1] == 9
 
 
+def test_warmstart_base_into_full_variant(tmp_path):
+    """The run_warmstart.sh path: a trained BASE-variant tree (no CIM/CA/REM)
+    partial-loads into a FULL-variant model — shared trunk/head leaves copy,
+    full-only modules keep their fresh init (tools/train_e2e.py --init-from)."""
+    kw = dict(num_classes=5, loss="margin", pretrained=False,
+              backbone_layers=(1, 1, 1, 1))
+    base = build_model("ieee3modalPart", interaction=False, attention=False,
+                       using_REM=False, **kw)
+    vb = base.init_variables(0, batch=2, height=64, width=32)
+    fpath = save_checkpoint(
+        {"params": vb["params"], "batch_stats": vb["batch_stats"]},
+        str(tmp_path), epoch=1,
+    )
+    full = build_model("ieee3modalPart", interaction=True, attention=True,
+                       using_REM=True, **kw)
+    vf = full.init_variables(1, batch=2, height=64, width=32)
+    merged = load_pretrained_weights(
+        {"params": vf["params"], "batch_stats": vf["batch_stats"]}, fpath)
+
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(vb["params"])[0])
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(vf["params"])[0])
+    flat_m = dict(jax.tree_util.tree_flatten_with_path(merged["params"])[0])
+    shared = [k for k in flat_m
+              if k in flat_b and flat_b[k].shape == flat_f[k].shape]
+    only_full = [k for k in flat_m if k not in flat_b]
+    assert shared and only_full  # both regimes exercised
+    for k in shared:
+        np.testing.assert_array_equal(np.asarray(flat_m[k]),
+                                      np.asarray(flat_b[k]))
+    for k in only_full:
+        np.testing.assert_array_equal(np.asarray(flat_m[k]),
+                                      np.asarray(flat_f[k]))
+    # the merged tree must still run a forward pass under the full model
+    out = full.apply(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]},
+        full.dummy_input(2, 64, 32), train=False)
+    assert all(np.isfinite(np.asarray(f)).all()
+               for f in jax.tree_util.tree_leaves(out))
+
+
 def test_feature_extractor():
     from ieee_tpu.utils.feature_extractor import FeatureExtractor
 
