@@ -125,6 +125,11 @@ def get_default_config() -> ConfigNode:
     cfg.loss.weight_t = 1.0
     cfg.loss.weight_m = 1.0
     cfg.loss.weight_x = 1.0
+    # TPU-first extension: ramp weight_m 0 -> weight_m over the first N
+    # epochs (margin engine only). 0 = off (reference behavior). Useful when
+    # training from scratch: the 3M term's trunk gradient otherwise
+    # dominates CE by 200-500x (E2E_DIAG_r03.jsonl)
+    cfg.loss.weight_m_warmup = 0
 
     # test
     cfg.test = ConfigNode()

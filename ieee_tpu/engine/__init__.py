@@ -83,6 +83,7 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
         return Image3MEngine(
             datamanager, model, margin=cfg.loss.ieee_margin,
             weight_m=cfg.loss.weight_m, weight_x=cfg.loss.weight_x,
+            weight_m_warmup=int(getattr(cfg.loss, "weight_m_warmup", 0)),
             label_smooth=cfg.loss.softmax.label_smooth, **common)
     if name in ("hcloss", "CMT"):
         return ImageHCEngine(

@@ -54,8 +54,9 @@ def _traced_accuracy(logits, pids):
 
 
 class Engine:
-    """Base engine. Subclasses implement ``compute_loss(out, pids)`` — a
-    jax-traceable function from model outputs to (scalar loss, metrics dict).
+    """Base engine. Subclasses implement ``compute_loss(out, pids, hp)`` — a
+    jax-traceable function from model outputs to (scalar loss, metrics dict);
+    ``hp`` is the optional traced dict from ``loss_hparams(epoch)``.
     """
 
     def __init__(self, datamanager, model, optimizer=None, scheduler=None,
@@ -213,8 +214,18 @@ class Engine:
     # ------------------------------------------------------------------
     # subclass interface
     # ------------------------------------------------------------------
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
+        """Map forward outputs + labels to ``(scalar_loss, metrics_dict)``.
+        ``hp`` is the (possibly empty/None) traced dict from
+        ``loss_hparams`` — per-epoch loss hyperparameters."""
         raise NotImplementedError
+
+    def loss_hparams(self, epoch):
+        """Per-epoch loss hyperparameters, injected into the jitted step as
+        traced scalars (like lr) so schedules never retrace. Keys must be
+        stable across epochs (dict structure is part of the jit signature).
+        Default: none."""
+        return None
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -315,15 +326,19 @@ class Engine:
         model = self.model
         tx = self.optimizer
 
-        def loss_fn(params, batch_stats, imgs, pids):
+        def loss_fn(params, batch_stats, imgs, pids, hp=None):
             out, new_stats = self._forward_train(params, batch_stats, imgs)
-            loss, metrics = self.compute_loss(out, pids)
+            loss, metrics = self.compute_loss(out, pids, hp)
             return loss, (metrics, new_stats)
 
         k_tfm = getattr(self.datamanager, "k_tfm", 1)
 
+        # `hp` is an optional dict of traced loss hyperparameters (see
+        # ``loss_hparams``) — injected like lr so per-epoch schedules (e.g.
+        # Image3MEngine's weight_m warmup) do not retrace the step. Trailing
+        # with a None default keeps every existing 7-arg caller working.
         def step(state: TrainState, imgs, pids, key, lr, mask,
-                 stats_mask=None):
+                 stats_mask=None, hp=None):
             imgs = self._transform_train(key, imgs)
             if k_tfm > 1:
                 # fold the K augmentation draws into the batch axis; pids
@@ -335,12 +350,13 @@ class Engine:
                 pids = jnp.repeat(pids, k_tfm)
             if self.spatial_parallel:
                 imgs = self._constrain_spatial(imgs)
+            lf = (lambda p, s, im, pd: loss_fn(p, s, im, pd, hp))
             if self.accum_steps > 1:
                 loss, metrics, new_stats, grads = self._accum_grads(
-                    state, imgs, pids, loss_fn)
+                    state, imgs, pids, lf)
             else:
                 (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
+                    lf, has_aux=True
                 )(state.params, state.batch_stats, imgs, pids)
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = lr
@@ -530,6 +546,9 @@ class Engine:
             self._train_step_fn = self._build_train_step()
 
         lr = float(self.scheduler(self.epoch))
+        hp = self.loss_hparams(self.epoch)
+        if hp is not None:
+            hp = {k: float(v) for k, v in hp.items()}
         fixbase = self.epoch < fixbase_epoch and open_layers
         if fixbase:
             print(f"* Only train {open_layers} (epoch: {self.epoch + 1}/"
@@ -555,7 +574,7 @@ class Engine:
             # too — the remaining divergence is that the forward still uses
             # batch stats, not the running average, for frozen layers)
             self.state, metrics = self._train_step_fn(
-                self.state, imgs, pids, key, lr, mask, stats_mask
+                self.state, imgs, pids, key, lr, mask, stats_mask, hp
             )
 
             batch_time.update(time.time() - end)
@@ -586,6 +605,7 @@ class Engine:
             "kind": "train_epoch",
             "epoch": self.epoch + 1,
             "lr": lr,
+            **(hp or {}),
             "batch_time_avg": batch_time.avg,
             "data_time_avg": data_time.avg,
             **{k: m.avg for k, m in losses.meters.items()},

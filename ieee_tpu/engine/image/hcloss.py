@@ -25,7 +25,7 @@ class ImageHCEngine(Engine):
         self.num_instances = (getattr(datamanager, "num_instances", 4)
                               * getattr(datamanager, "k_tfm", 1))
 
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
         loss = 0.0
         metrics = {}
         if self.weight_m > 0:

@@ -38,7 +38,7 @@ class ImageSoftmaxEngine(Engine):
         self.label_smooth = label_smooth
         self.num_classes = datamanager.num_train_pids
 
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
         logits = out[0] if isinstance(out, (tuple, list)) else out
         loss = _deep_ce(logits, pids, self.num_classes, self.label_smooth)
         return loss, {"acc": _traced_accuracy(logits, pids)}
@@ -55,7 +55,7 @@ class MultiModalImageSoftmaxEngine(Engine):
         self.label_smooth = label_smooth
         self.num_classes = datamanager.num_train_pids
 
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
         loss_R = _deep_ce(out["logits_R"], pids, self.num_classes,
                           self.label_smooth)
         loss_N = _deep_ce(out["logits_N"], pids, self.num_classes,

@@ -25,7 +25,7 @@ class ImageTripletEngine(Engine):
         self.weight_x = weight_x
         self.num_classes = datamanager.num_train_pids
 
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
         metrics = {}
         if isinstance(out, dict):  # IEEE multi-modal
             feature = out["feat"]

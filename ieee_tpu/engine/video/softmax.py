@@ -71,7 +71,7 @@ class VideoTripletEngine(VideoSoftmaxEngine):
         self.weight_t = weight_t
         self.weight_x = weight_x
 
-    def compute_loss(self, out, pids):
+    def compute_loss(self, out, pids, hp=None):
         from ...losses import hard_mine_triplet_loss
         from ..engine import _traced_accuracy
         from ..image.softmax import _deep_ce

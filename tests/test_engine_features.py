@@ -190,3 +190,58 @@ def test_accum_steps_must_divide_batch():
     with pytest.raises(ValueError, match="accum_steps"):
         ImageSoftmaxEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
                            seed=0, accum_steps=0)
+
+
+def test_weight_m_warmup_schedule_and_injection():
+    """cfg.loss.weight_m_warmup: weight_m ramps 0 -> target over the first N
+    epochs as a TRACED hyperparam — loss is exactly base + wm*LossM at every
+    ramp point, the jitted step takes the dict without retracing, and
+    warmup=0 preserves the reference behavior (no hp, baked constant)."""
+    from ieee_tpu.engine import Image3MEngine
+
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=32, width=16, batch_size_train=8,
+        batch_size_test=8, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss="margin", pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.1)
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
+                        seed=0, weight_m=2.0, weight_m_warmup=4)
+
+    # schedule shape (epoch is 0-based: first epoch pure CE, full at N)
+    assert eng.loss_hparams(0) == {"weight_m": 0.0}
+    assert eng.loss_hparams(2) == {"weight_m": 1.0}
+    assert eng.loss_hparams(4) == {"weight_m": 2.0}
+    assert eng.loss_hparams(9) == {"weight_m": 2.0}
+
+    data = next(iter(dm.train_loader))
+    imgs, pids = eng._put_batch(data)
+    key = jax.random.PRNGKey(0)
+    out, _ = eng._forward_train(eng.state.params, eng.state.batch_stats,
+                                eng._transform_train(key, imgs))
+    loss0, m0 = eng.compute_loss(out, pids, {"weight_m": 0.0})
+    loss_half, _ = eng.compute_loss(out, pids, {"weight_m": 1.0})
+    assert float(m0["LossM"]) > 0
+    np.testing.assert_allclose(float(loss_half),
+                               float(loss0) + 1.0 * float(m0["LossM"]),
+                               rtol=1e-5)
+
+    # the jitted step accepts the hp dict; two ramp values, one trace
+    step = eng._build_train_step()
+    s1, met1 = step(eng.state, imgs, pids, key, 0.1, None, None,
+                    {"weight_m": 0.0})
+    _, met2 = step(s1, imgs, pids, key, 0.1, None, None, {"weight_m": 2.0})
+    assert np.isfinite(float(met1["loss"])) and np.isfinite(float(met2["loss"]))
+    if hasattr(step, "_cache_size"):
+        assert step._cache_size() == 1
+
+    # warmup disabled -> no hp, reference-identical path
+    eng_ref = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
+                            seed=0, weight_m=2.0)
+    assert eng_ref.loss_hparams(0) is None
+    loss_ref, _ = eng_ref.compute_loss(out, pids)
+    loss_full, _ = eng.compute_loss(out, pids, {"weight_m": 2.0})
+    np.testing.assert_allclose(float(loss_ref), float(loss_full), rtol=1e-6)

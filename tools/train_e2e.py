@@ -95,6 +95,10 @@ def main():
                          "(assumes warm start); adam suits from-scratch")
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--weight-m", type=float, default=1.0)
+    ap.add_argument("--weight-m-warmup", type=int, default=0,
+                    help="ramp weight_m 0->target over the first N "
+                         "epochs (margin gradient dominates 200-500x "
+                         "from scratch, E2E_DIAG_r03.jsonl)")
     ap.add_argument("--stepsize", type=str, default="20,40")
     ap.add_argument("--variant", type=str, default="full",
                     choices=["base", "cim", "cim3m", "full"],
@@ -171,7 +175,9 @@ def main():
         "hw": [args.height, args.width], "batch": args.batch,
         "epochs": args.epochs,
         "optim": (f"{args.optim} lr {lr} wd 5e-4, "
-                  f"multi_step {stepsize}, weight_m {args.weight_m}"),
+                  f"multi_step {stepsize}, weight_m {args.weight_m}"
+                  + (f" warmup {args.weight_m_warmup}"
+                     if args.weight_m_warmup else "")),
         "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
         "variant": args.variant,
     }
@@ -206,6 +212,7 @@ def main():
         compiler_options = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=sched, margin=1.0,
                         weight_m=args.weight_m, seed=0,
+                        weight_m_warmup=args.weight_m_warmup,
                         compiler_options=compiler_options)
 
     resume_path = ""
