@@ -86,8 +86,14 @@ def get_default_config() -> ConfigNode:
     cfg.train.open_layers = ["classifier"]
     # faithful-fixbase extension (no reference-config analog): freeze frozen
     # layers' BN running stats during warmup like torchtools.py:171-221's
-    # .eval() flip; default False = round-1 behavior (stats keep updating)
+    # .eval() flip; default False = round-1 behavior (stats keep updating).
+    # Only relevant when fixbase_bn_eval (below) is off.
     cfg.train.fixbase_bn_freeze = False
+    # full .eval() fidelity for frozen modules during fixbase warmup: BN
+    # normalizes by RUNNING stats and skips the stat update, exactly the
+    # reference's open_specified_layers (torchtools.py:171-221). Default on;
+    # turn off to recover the round-1..3 batch-stat behavior.
+    cfg.train.fixbase_bn_eval = True
     cfg.train.staged_lr = False
     cfg.train.new_layers = ["classifier"]
     cfg.train.base_lr_mult = 0.1
@@ -287,6 +293,7 @@ def engine_run_kwargs(cfg: ConfigNode) -> dict:
         fixbase_epoch=cfg.train.fixbase_epoch,
         open_layers=cfg.train.open_layers,
         fixbase_bn_freeze=cfg.train.fixbase_bn_freeze,
+        fixbase_bn_eval=cfg.train.fixbase_bn_eval,
         start_eval=cfg.test.start_eval,
         eval_freq=cfg.test.eval_freq,
         test_only=cfg.test.evaluate,

@@ -22,6 +22,7 @@ import os.path as osp
 import time
 from typing import Any, Callable, Dict, Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,58 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+def _bn_eval_interceptor(open_layers):
+    """flax method interceptor: BatchNorms OUTSIDE the open top-level modules
+    normalize with running statistics (and skip the stat update) — the
+    reference's ``.eval()`` flip on frozen modules during two-stepped
+    transfer (torchtools.py:171-221). Matches modules by the same top-level
+    substring rule as ``Engine._open_layers_mask``."""
+    from ..models.common import FastBatchNorm
+
+    opens = tuple(open_layers)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, (nn.BatchNorm, FastBatchNorm))
+                and context.method_name == "__call__"):
+            top = mod.path[0] if mod.path else ""
+            if not any(o in top for o in opens):
+                if len(args) >= 2:  # use_running_average passed positionally
+                    args = (args[0], True) + tuple(args[2:])
+                else:
+                    kwargs = dict(kwargs, use_running_average=True)
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def _mask_opt_state(new_os, old_os, mask, params_struct):
+    """Keep OLD optimizer moments for frozen params during fixbase.
+
+    torch skips ``requires_grad=False`` params entirely (no momentum, no
+    weight-decay accumulation, ``torch/optim/sgd.py`` grad-None skip); optax
+    transforms update every leaf. Every params-shaped subtree inside the
+    optax state (sgd trace, adam mu/nu/nu_max, ...) is blended leaf-wise
+    with the fixbase mask so frozen params' moments stay untouched.
+    (Known residual divergence: optax step counts are global, torch adam's
+    are per-param — irrelevant for the reference's SGD fixbase protocol.)"""
+    import jax.tree_util as jtu
+
+    def params_like(x):
+        try:
+            return jtu.tree_structure(x) == params_struct
+        except Exception:  # noqa: BLE001 — non-pytree leaves
+            return False
+
+    def blend(new_sub, old_sub):
+        return jtu.tree_map(
+            lambda n, o, m: jnp.where(m > 0, n, o), new_sub, old_sub, mask)
+
+    return jtu.tree_map(
+        lambda n, o: blend(n, o) if params_like(n) else n,
+        new_os, old_os, is_leaf=params_like)
 
 
 def _traced_accuracy(logits, pids):
@@ -250,19 +303,36 @@ class Engine:
             return x.reshape((-1,) + x.shape[2:])
         return x
 
-    def _forward_train(self, params, batch_stats, imgs):
+    def _forward_train(self, params, batch_stats, imgs, bn_eval=None):
         """Training forward returning (out, new_batch_stats).
 
         sync_batchnorm=True: plain apply — BN stats reduce over the global
         (all-shards) batch. False: the forward runs under shard_map so each
         data-shard computes its own BN stats (DataParallel-faithful); the
         returned running stats are the cross-replica mean. Differentiable —
-        grads flow through shard_map and are summed by its transpose."""
+        grads flow through shard_map and are summed by its transpose.
+
+        ``bn_eval`` (static): tuple of OPEN top-level module names during a
+        fixbase warmup epoch. When set, every BatchNorm outside those modules
+        normalizes with its running statistics and does not update them —
+        the reference's ``.eval()`` flip on frozen modules
+        (torchtools.py:171-221) — via a flax method interceptor, so no model
+        code needs a per-layer flag."""
+        interceptor = (None if bn_eval is None
+                       else _bn_eval_interceptor(bn_eval))
+
         def fwd(p, s, im):
-            out, updates = self.model.module.apply(
-                {"params": p, "batch_stats": s}, im, train=True,
-                mutable=["batch_stats"],
-            )
+            if interceptor is None:
+                out, updates = self.model.module.apply(
+                    {"params": p, "batch_stats": s}, im, train=True,
+                    mutable=["batch_stats"],
+                )
+            else:
+                with nn.intercept_methods(interceptor):
+                    out, updates = self.model.module.apply(
+                        {"params": p, "batch_stats": s}, im, train=True,
+                        mutable=["batch_stats"],
+                    )
             return out, updates["batch_stats"]
 
         n_data = self.mesh.shape.get("data", 1)
@@ -326,8 +396,9 @@ class Engine:
         model = self.model
         tx = self.optimizer
 
-        def loss_fn(params, batch_stats, imgs, pids, hp=None):
-            out, new_stats = self._forward_train(params, batch_stats, imgs)
+        def loss_fn(params, batch_stats, imgs, pids, hp=None, bn_eval=None):
+            out, new_stats = self._forward_train(params, batch_stats, imgs,
+                                                 bn_eval=bn_eval)
             loss, metrics = self.compute_loss(out, pids, hp)
             return loss, (metrics, new_stats)
 
@@ -338,7 +409,7 @@ class Engine:
         # Image3MEngine's weight_m warmup) do not retrace the step. Trailing
         # with a None default keeps every existing 7-arg caller working.
         def step(state: TrainState, imgs, pids, key, lr, mask,
-                 stats_mask=None, hp=None):
+                 stats_mask=None, hp=None, bn_eval=None):
             imgs = self._transform_train(key, imgs)
             if k_tfm > 1:
                 # fold the K augmentation draws into the batch axis; pids
@@ -350,7 +421,7 @@ class Engine:
                 pids = jnp.repeat(pids, k_tfm)
             if self.spatial_parallel:
                 imgs = self._constrain_spatial(imgs)
-            lf = (lambda p, s, im, pd: loss_fn(p, s, im, pd, hp))
+            lf = (lambda p, s, im, pd: loss_fn(p, s, im, pd, hp, bn_eval))
             if self.accum_steps > 1:
                 loss, metrics, new_stats, grads = self._accum_grads(
                     state, imgs, pids, lf)
@@ -370,6 +441,12 @@ class Engine:
                     lambda new, old, m: jnp.where(m, new, old),
                     new_params, state.params, mask,
                 )
+                # ...and their optimizer moments (torch skips frozen params
+                # entirely — no momentum/weight-decay accumulation while
+                # frozen, so unfreezing starts from clean state)
+                new_opt_state = _mask_opt_state(
+                    new_opt_state, state.opt_state, mask,
+                    jax.tree_util.tree_structure(state.params))
             if stats_mask is not None:
                 # faithful-fixbase mode: frozen modules' BN running stats do
                 # not update during warmup (reference puts them in .eval(),
@@ -389,7 +466,10 @@ class Engine:
         donate = (0,) if self.donate else ()
         opts = compiler_options if compiler_options is not None \
             else (self.compiler_options or None)
-        return jax.jit(step, donate_argnums=donate, static_argnums=(),
+        # bn_eval (arg 8) is a hashable tuple of open-layer names or None —
+        # static so the fixbase warmup traces its own program (the mask
+        # pytree structure changes across the fixbase boundary anyway)
+        return jax.jit(step, donate_argnums=donate, static_argnums=(8,),
                        compiler_options=opts)
 
     def _build_eval_step(self):
@@ -448,6 +528,7 @@ class Engine:
         fixbase_epoch: int = 0,
         open_layers=None,
         fixbase_bn_freeze: bool = False,
+        fixbase_bn_eval: bool = True,
         start_eval: int = 0,
         eval_freq: int = -1,
         test_only: bool = False,
@@ -489,7 +570,8 @@ class Engine:
         for self.epoch in range(start_epoch, max_epoch):
             self.train(print_freq=print_freq, fixbase_epoch=fixbase_epoch,
                        open_layers=open_layers,
-                       fixbase_bn_freeze=fixbase_bn_freeze)
+                       fixbase_bn_freeze=fixbase_bn_freeze,
+                       fixbase_bn_eval=fixbase_bn_eval)
             is_last = (self.epoch + 1) == max_epoch
             should_eval = (
                 eval_freq > 0
@@ -537,7 +619,7 @@ class Engine:
         return rank1
 
     def train(self, print_freq=10, fixbase_epoch=0, open_layers=None,
-              fixbase_bn_freeze=False):
+              fixbase_bn_freeze=False, fixbase_bn_eval=True):
         losses = MetricMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
@@ -554,9 +636,19 @@ class Engine:
             print(f"* Only train {open_layers} (epoch: {self.epoch + 1}/"
                   f"{fixbase_epoch})")
         mask = self._open_layers_mask(open_layers) if fixbase else None
+        # fixbase_bn_eval (default True, faithful): frozen modules' BN runs
+        # in .eval() semantics — normalize by running stats, no stat update
+        # (the interceptor handles both, so no stats_mask is needed).
+        # fixbase_bn_freeze (legacy weaker knob, only relevant when bn_eval
+        # is off): batch-stat normalization but pinned running stats.
+        bn_eval = None
+        if fixbase and fixbase_bn_eval:
+            ol = [open_layers] if isinstance(open_layers, str) else \
+                list(open_layers)
+            bn_eval = tuple(ol)
         stats_mask = (
             self._open_layers_mask(open_layers, tree=self.state.batch_stats)
-            if (fixbase and fixbase_bn_freeze) else None
+            if (fixbase and fixbase_bn_freeze and bn_eval is None) else None
         )
 
         num_batches = len(self.train_loader)
@@ -567,14 +659,13 @@ class Engine:
 
             key = jax.random.fold_in(self.rng, self._host_step)
             self._host_step += 1
-            # (divergence: reference also flips frozen BN to eval mode during
-            # fixbase, torchtools.py:171-221; here frozen params stay frozen
-            # via the in-step mask. Default: BN stats still update; with
-            # fixbase_bn_freeze the frozen layers' running stats are pinned
-            # too — the remaining divergence is that the forward still uses
-            # batch stats, not the running average, for frozen layers)
+            # frozen params stay frozen via the in-step mask; with the
+            # default fixbase_bn_eval=True the frozen modules' BN also runs
+            # in .eval() semantics like the reference's open_specified_layers
+            # (torchtools.py:171-221) — see _bn_eval_interceptor
             self.state, metrics = self._train_step_fn(
-                self.state, imgs, pids, key, lr, mask, stats_mask, hp
+                self.state, imgs, pids, key, lr, mask, stats_mask, hp,
+                bn_eval
             )
 
             batch_time.update(time.time() - end)

@@ -8,6 +8,7 @@ that actually runs, instead of a hook-based estimate.
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import jax
@@ -43,7 +44,16 @@ def compute_model_complexity(model, variables=None, height: int = 256,
         if isinstance(cost, list):  # some backends return a list per module
             cost = cost[0]
         flops = int(cost.get("flops", 0))
-    except Exception:
+        if flops == 0:
+            warnings.warn(
+                "XLA cost analysis returned no 'flops' entry for this "
+                "backend; the FLOPs figure is unavailable (reported as 0).",
+                RuntimeWarning, stacklevel=2)
+    except Exception as e:  # noqa: BLE001 — backend-dependent API surface
+        warnings.warn(
+            f"XLA cost analysis failed ({type(e).__name__}: {e}); FLOPs "
+            "unavailable on this backend (reported as 0). Parameter count "
+            "is still exact.", RuntimeWarning, stacklevel=2)
         flops = 0
 
     if verbose:

@@ -47,25 +47,30 @@ def test_fixbase_freezes_non_open_layers():
 
 
 def test_fixbase_bn_freeze_pins_frozen_running_stats():
-    """fixbase_bn_freeze=True (cfg.train.fixbase_bn_freeze) pins the frozen
-    layers' BN running stats during warmup — the faithful analog of the
-    reference putting frozen modules in .eval() (torchtools.py:171-221).
-    Default (False) keeps the round-1 behavior: stats update everywhere."""
-    eng = _engine()
-    eng.max_epoch = 1
-    eng.epoch = 0
-    trunk_bn_before = jax.tree_util.tree_map(
-        np.asarray, eng.state.batch_stats["trunk"])
-    with contextlib.redirect_stdout(io.StringIO()):
-        eng.train(print_freq=1000, fixbase_epoch=1,
-                  open_layers=["classifier"], fixbase_bn_freeze=True)
-    jax.tree_util.tree_map(
-        np.testing.assert_array_equal,
-        jax.tree_util.tree_map(np.asarray, eng.state.batch_stats["trunk"]),
-        trunk_bn_before,
-    )
+    """Frozen layers' BN running stats stay pinned during warmup — the
+    faithful analog of the reference putting frozen modules in .eval()
+    (torchtools.py:171-221). Two ways in: the default fixbase_bn_eval=True
+    (full .eval(): running-stat normalization AND no stat update) and the
+    legacy fixbase_bn_freeze=True (stat pin only). The legacy opt-out
+    (bn_eval=False, bn_freeze=False) keeps the round-1 behavior: stats
+    update everywhere."""
+    for kw in (dict(),  # default: fixbase_bn_eval=True
+               dict(fixbase_bn_eval=False, fixbase_bn_freeze=True)):
+        eng = _engine()
+        eng.max_epoch = 1
+        eng.epoch = 0
+        trunk_bn_before = jax.tree_util.tree_map(
+            np.asarray, eng.state.batch_stats["trunk"])
+        with contextlib.redirect_stdout(io.StringIO()):
+            eng.train(print_freq=1000, fixbase_epoch=1,
+                      open_layers=["classifier"], **kw)
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.tree_util.tree_map(np.asarray, eng.state.batch_stats["trunk"]),
+            trunk_bn_before,
+        )
 
-    # control: default mode updates the trunk stats
+    # control: the legacy opt-out updates the trunk stats
     eng2 = _engine()
     eng2.max_epoch = 1
     eng2.epoch = 0
@@ -73,7 +78,7 @@ def test_fixbase_bn_freeze_pins_frozen_running_stats():
         eng2.state.batch_stats["trunk"])[0])
     with contextlib.redirect_stdout(io.StringIO()):
         eng2.train(print_freq=1000, fixbase_epoch=1,
-                   open_layers=["classifier"])
+                   open_layers=["classifier"], fixbase_bn_eval=False)
     mean_after = np.asarray(jax.tree_util.tree_leaves(
         eng2.state.batch_stats["trunk"])[0])
     assert not np.allclose(mean_after, mean_before)

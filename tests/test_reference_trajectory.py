@@ -296,6 +296,150 @@ def test_training_trajectory_50_steps_shallow(ref):
     np.testing.assert_allclose(our_cmc, ref_cmc, atol=0.05)
 
 
+def test_fixbase_trajectory_matches_reference(ref):
+    """Two-stepped transfer parity (round-3 VERDICT item 5): 6 warmup steps
+    with only [classifier, fc] open — the reference flips every OTHER module
+    to ``.eval()`` AND skips its params in the optimizer
+    (torchtools.py:183-221 + torch SGD's grad-None skip) — then 6 open
+    steps. Exercises (a) frozen BN normalizing by running stats in the
+    forward (engine ``fixbase_bn_eval`` interceptor), (b) frozen params and
+    BN stats pinned, (c) frozen optimizer moments pinned so the unfreeze
+    boundary starts from clean momentum, like torch."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ieee_tpu.data import ImageDataManager
+    from ieee_tpu.engine import Image3MEngine
+    from ieee_tpu.engine.engine import TrainState
+    from ieee_tpu.models import build_model
+    from ieee_tpu.models.ieee_converter import convert_ieee_torch_checkpoint
+    from ieee_tpu.optim import build_optimizer
+    from ieee_tpu.parallel import replicate
+
+    ref_models, ref_losses = ref
+    n_fixbase, n_steps = 6, 12
+    open_torch = ("classifier_R", "classifier_N", "classifier_T",
+                  "fc_R", "fc_N", "fc_T")
+    open_ours = ("classifier", "fc")
+
+    torch.manual_seed(3)
+    rmodel = _shallow_ref_model(ref_models, NUM_CLASSES)
+    sd0 = {k: v.clone() for k, v in rmodel.state_dict().items()}
+    crit_x = ref_losses.CrossEntropyLoss(num_classes=NUM_CLASSES,
+                                         use_gpu=False, label_smooth=True)
+    crit_m = ref_losses.multiModalMarginLossNew(margin=1.0, dist_type="l2")
+    opt = torch.optim.SGD(rmodel.parameters(), lr=LR, momentum=0.9,
+                          weight_decay=5e-4)
+
+    def set_mode(fixbase: bool):
+        # torchtools.open_specified_layers / open_all_layers, inlined
+        if not fixbase:
+            rmodel.train()
+            for p in rmodel.parameters():
+                p.requires_grad = True
+            return
+        for name, module in rmodel.named_children():
+            if name in open_torch:
+                module.train()
+                for p in module.parameters():
+                    p.requires_grad = True
+            else:
+                module.eval()
+                for p in module.parameters():
+                    p.requires_grad = False
+
+    rng = np.random.default_rng(77)
+    batches = []
+    for s in range(n_steps):
+        ids = (np.arange(P) + s) % NUM_CLASSES
+        pids = np.repeat(ids, K).astype(np.int64)
+        imgs = [rng.standard_normal((P * K, 3, H, W)).astype(np.float32) * 0.1
+                for _ in range(3)]
+        batches.append((imgs, pids))
+
+    ref_losses_per_step = []
+    for s, (imgs, pids) in enumerate(batches):
+        set_mode(s < n_fixbase)
+        timgs = [torch.tensor(m) for m in imgs]
+        tpids = torch.tensor(pids)
+        out_R, out_N, out_T, f_R, f_N, f_T = rmodel(timgs)
+        loss = crit_m(f_R, f_N, f_T, tpids) + (
+            ref_losses.DeepSupervision(crit_x, out_R, tpids)
+            + ref_losses.DeepSupervision(crit_x, out_N, tpids)
+            + ref_losses.DeepSupervision(crit_x, out_T, tpids))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses_per_step.append(float(loss.detach()))
+
+    # ---- our side --------------------------------------------------------
+    params0, stats0 = convert_ieee_torch_checkpoint(
+        {k: v.numpy() for k, v in sd0.items()}, layers=(1, 1, 1, 1))
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=H, width=W,
+        batch_size_train=P * K, batch_size_test=8, workers=0,
+        train_sampler="RandomIdentitySampler", num_instances=K,
+        num_pids=NUM_CLASSES, imgs_per_pid=K, verbose=False, seed=0,
+    )
+    model = build_model("ieee3modalPart", num_classes=NUM_CLASSES,
+                        loss="margin", pretrained=False, dtype="float32",
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=LR, momentum=0.9, weight_decay=5e-4)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: LR,
+                        margin=1.0, weight_m=1.0, weight_x=1.0,
+                        label_smooth=True, seed=0, mesh=mesh, donate=False)
+    eng.datamanager.transform_tr = lambda key, x: x
+    eng.state = replicate(mesh, TrainState(
+        params=params0, batch_stats=stats0, opt_state=tx.init(params0),
+        step=jnp.zeros((), jnp.int32),
+    ))
+    step_fn = eng._build_train_step()
+    mask = eng._open_layers_mask(list(open_ours))
+    frozen_p0 = jax.tree_util.tree_map(
+        np.asarray, eng.state.params["backbone_R"])
+    frozen_s0 = jax.tree_util.tree_map(
+        np.asarray, eng.state.batch_stats["backbone_R"])
+
+    key = jax.random.PRNGKey(0)
+    our_losses_per_step = []
+    with jax.disable_jit():
+        for s, (imgs, pids) in enumerate(batches):
+            fb = s < n_fixbase
+            jimgs = tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+                          for m in imgs)
+            eng.state, m = step_fn(
+                eng.state, jimgs, jnp.asarray(pids),
+                jax.random.fold_in(key, s), LR,
+                mask if fb else None, None, None,
+                open_ours if fb else None)
+            our_losses_per_step.append(float(m["loss"]))
+            if s == n_fixbase - 1:
+                # frozen module untouched through the whole warmup
+                for a, b in zip(
+                        jax.tree_util.tree_leaves(frozen_p0),
+                        jax.tree_util.tree_leaves(
+                            eng.state.params["backbone_R"])):
+                    np.testing.assert_array_equal(a, np.asarray(b))
+                for a, b in zip(
+                        jax.tree_util.tree_leaves(frozen_s0),
+                        jax.tree_util.tree_leaves(
+                            eng.state.batch_stats["backbone_R"])):
+                    np.testing.assert_array_equal(a, np.asarray(b))
+
+    ours = np.asarray(our_losses_per_step)
+    refs = np.asarray(ref_losses_per_step)
+    # warmup: frozen BN normalizes with (deterministic) running stats on
+    # both sides, so the only drift source is the open fc BN batch stats —
+    # measured <=0.5% through step 6; post-unfreeze chaos grows like the
+    # open-trajectory tests
+    np.testing.assert_allclose(ours[0], refs[0], rtol=1e-4)
+    np.testing.assert_allclose(ours[:n_fixbase], refs[:n_fixbase], rtol=2e-2)
+    np.testing.assert_allclose(ours, refs, rtol=1e-1)
+
+
 def test_full_depth_single_step_loss_and_grad_parity(ref):
     """One full-depth (3,4,6,3) step from identical converted weights:
     loss parity AND full-gradient-tree parity. The torch loss gradients are

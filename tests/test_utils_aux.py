@@ -154,6 +154,37 @@ def test_model_complexity():
     assert flops > 0
 
 
+def test_model_complexity_warns_on_cost_analysis_failure(monkeypatch):
+    """A backend without cost analysis must warn, not silently return 0."""
+    import warnings
+
+    import jax as _jax
+
+    m = build_model("resnet18", num_classes=10, loss="softmax",
+                    pretrained=False)
+
+    class _BrokenCompiled:
+        def cost_analysis(self):
+            raise NotImplementedError("no cost analysis on this backend")
+
+    class _BrokenLowered:
+        def compile(self):
+            return _BrokenCompiled()
+
+    class _BrokenJitted:
+        def lower(self, *a, **k):
+            return _BrokenLowered()
+
+    monkeypatch.setattr(_jax, "jit", lambda fn: _BrokenJitted())
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        params, flops = compute_model_complexity(m, height=64, width=32,
+                                                 batch=1)
+    assert params > 10e6 and flops == 0
+    assert any(issubclass(w.category, RuntimeWarning)
+               and "cost analysis" in str(w.message) for w in caught)
+
+
 def test_visualize_ranked_results(tmp_path):
     from ieee_tpu.data import init_image_dataset
     from ieee_tpu.utils.reidtools import visualize_ranked_results
