@@ -171,6 +171,9 @@ def get_default_config() -> ConfigNode:
     # off for multi-device global-batch BN, where a Pallas stats epilogue
     # would compute per-shard statistics under pjit.
     cfg.tpu.fused_1x1 = None
+    # Pallas whole-block backward for stride-1 bottlenecks
+    # (ops/pallas/block_bwd.py): None = auto (resolve_block_megakernel)
+    cfg.tpu.block_megakernel = None
     # per-jit XLA:TPU option overrides for the train step, as
     # "flag=value" strings (e.g. ["xla_tpu_scoped_vmem_limit_kib=65536"]).
     # Measured candidates: tools/xla_flag_sweep.py; [] = compiler defaults

@@ -135,6 +135,8 @@ def ieee3modal_part(
     using_REM=True,
     backbone_layers=(3, 4, 6, 3),
     dtype=jnp.bfloat16,
+    fused_1x1=None,
+    block_megakernel=None,
     **kwargs,
 ):
     """The IEEE model (reference factory ``ieee3modalPart``,
@@ -150,6 +152,8 @@ def ieee3modal_part(
         using_REM=using_REM,
         backbone_layers=tuple(backbone_layers),
         dtype=dtype,
+        fused_1x1=fused_1x1,
+        block_megakernel=block_megakernel,
     )
     meta = {
         "trunks": (

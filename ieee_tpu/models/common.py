@@ -179,6 +179,23 @@ class _BNState(nn.Module):
         return scale, bias, ra_mean, ra_var
 
 
+class _ConvBNState(nn.Module):
+    """Bare ConvBN param/stat holder: nested ``conv``/``bn`` children so the
+    tree is identical to ``ConvBN`` — used by block-fused paths that compute
+    conv+BN outside flax (e.g. the Pallas block-backward Bottleneck)."""
+
+    features: int
+    k_in: int
+    kernel_hw: Sequence[int] = (1, 1)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_hw
+        k = _ConvKernel((kh, kw, self.k_in, self.features), name="conv")()
+        scale, bias, ra_mean, ra_var = _BNState(self.features, name="bn")()
+        return k, scale, bias, ra_mean, ra_var
+
+
 class FusedConvBN1x1(nn.Module):
     """Drop-in for ``ConvBN(kernel=(1,1), strides=(1,1))`` backed by the
     fused Pallas matmul+BN kernels (``ops/pallas/matmul_bn.py``): BN batch

@@ -165,6 +165,7 @@ class IEEE3modalPart(nn.Module):
     backbone_layers: Sequence[int] = (3, 4, 6, 3)  # ResNet-50 by default
     dtype: Any = jnp.bfloat16
     fused_1x1: bool | None = None  # None = auto: Pallas matmul+BN on TPU
+    block_megakernel: bool | None = None  # Pallas whole-block backward
 
     def setup(self):
         from .common import FusedConvBN1x1
@@ -183,6 +184,7 @@ class IEEE3modalPart(nn.Module):
             ResNetTrunk(
                 block="bottleneck", layers=tuple(self.backbone_layers),
                 last_stride=1, dtype=self.dtype, fused_1x1=fused,
+                block_megakernel=self.block_megakernel,
                 name=f"backbone_{m}",
             )
             for m in "RNT"

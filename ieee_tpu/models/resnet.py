@@ -14,6 +14,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import (
@@ -48,6 +49,17 @@ def fuse_worthwhile(k_in: int, c_out: int, min_dim: int = 384) -> bool:
     layer-1/2 tall-skinny shapes, N~10^5 x C<=512, are faster as XLA convs).
     """
     return min(k_in, c_out) >= min_dim
+
+
+def resolve_block_megakernel(flag):
+    """None = auto (currently OFF: measure with tools/exp_variants.py
+    megakernel before flipping). The Pallas whole-block backward
+    (ops/pallas/block_bwd.py, round-3 VERDICT item 4) replaces XLA's
+    per-fusion backward for every stride-1 no-downsample bottleneck; opt in
+    via cfg.tpu.block_megakernel=True."""
+    if flag is None:
+        return False
+    return bool(flag)
 
 __all__ = [
     "ResNetTrunk",
@@ -105,6 +117,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dtype: Any = jnp.bfloat16
     fused_1x1: bool = False  # Pallas matmul+BN path for cb1/cb3/downsample
+    block_megakernel: bool = False  # Pallas whole-block backward (stride-1)
 
     expansion = 4
 
@@ -113,6 +126,9 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         k_in = x.shape[-1]
         c_out = self.planes * self.expansion
+        if (self.block_megakernel and self.groups == 1
+                and self.strides == 1 and not self.downsample):
+            return self._megakernel_block(x, width, k_in, c_out, train)
         base_ok = self.fused_1x1 and self.groups == 1
         fuse_cb1 = base_ok and fuse_worthwhile(k_in, width)
         # cb3 and downsample must agree: the fused cb3 consumes the identity
@@ -171,6 +187,33 @@ class Bottleneck(nn.Module):
             )(x, train)
         return nn.relu(out + identity)
 
+    def _megakernel_block(self, x, width, k_in, c_out, train):
+        """Pallas whole-block-backward path (ops/pallas/block_bwd.py).
+        Param/stat tree is identical to the plain path (cb1/{conv,bn},
+        conv2, bn2, cb3/{conv,bn}) via the bare holders, so checkpoints,
+        converters and the other block variants interchange."""
+        from ..ops.pallas.block_bwd import block_eval_jnp, bottleneck_train
+        from .common import _BNState, _ConvBNState, _ConvKernel
+
+        k1, s1, b1, m1, v1 = _ConvBNState(width, k_in, name="cb1")()
+        k2 = _ConvKernel((3, 3, width, width), name="conv2")()
+        s2, b2, m2, v2 = _BNState(width, name="bn2")()
+        k3, s3, b3, m3, v3 = _ConvBNState(c_out, width, name="cb3")()
+        xb = x.astype(self.dtype)
+
+        if train:
+            y, stats = bottleneck_train(xb, k1, s1, b1, k2, s2, b2,
+                                        k3, s3, b3)
+            if not self.is_initializing():
+                st = jax.lax.stop_gradient(stats)
+                mom = 0.9  # == ConvBN bn_momentum / FastBatchNorm default
+                for ref, new in zip((m1, v1, m2, v2, m3, v3), st):
+                    ref.value = mom * ref.value + (1 - mom) * new
+            return y
+        return block_eval_jnp(
+            xb, k1, s1, b1, k2, s2, b2, k3, s3, b3,
+            (m1.value, v1.value, m2.value, v2.value, m3.value, v3.value))
+
 
 _BLOCKS = {"basic": BasicBlock, "bottleneck": Bottleneck}
 
@@ -191,6 +234,7 @@ class ResNetTrunk(nn.Module):
     num_stages: int = 4  # <4 truncates the trunk (e.g. resnetmid's 3-stage base)
     dtype: Any = jnp.bfloat16
     fused_1x1: bool | None = None  # None = auto (TPU only)
+    block_megakernel: bool | None = None  # Pallas whole-block backward
 
     @property
     def feature_dim(self) -> int:
@@ -200,6 +244,8 @@ class ResNetTrunk(nn.Module):
     def __call__(self, x, train: bool = False, return_stages: bool = False):
         block_cls = _BLOCKS[self.block]
         fused = resolve_fused_1x1(self.fused_1x1) and self.block == "bottleneck"
+        mk = resolve_block_megakernel(self.block_megakernel) \
+            and self.block == "bottleneck"
         x = x.astype(self.dtype)
         x = ConvBN(
             64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
@@ -219,8 +265,8 @@ class ResNetTrunk(nn.Module):
                 needs_down = b == 0 and (
                     stride != 1 or in_planes != p * block_cls.expansion
                 )
-                extra = {"fused_1x1": fused} if self.block == "bottleneck" \
-                    else {}
+                extra = {"fused_1x1": fused, "block_megakernel": mk} \
+                    if self.block == "bottleneck" else {}
                 x = block_cls(
                     planes=p,
                     strides=stride,

@@ -90,15 +90,20 @@ def main():
         fused = cfg.tpu.fused_1x1
         n_dev = (int(np.prod(cfg.tpu.mesh_shape)) if cfg.tpu.mesh_shape
                  else len(jax.devices()))
-        if fused is None and n_dev > 1 and cfg.tpu.sync_batchnorm:
+        mk = cfg.tpu.block_megakernel
+        if n_dev > 1 and cfg.tpu.sync_batchnorm:
             # Pallas stats epilogues are per-shard under pjit; global-batch
             # BN over a multi-device mesh keeps the plain XLA path
-            fused = False
-            print("fused_1x1: auto-disabled (multi-device global-batch BN)")
+            if fused is None:
+                fused = False
+                print("fused_1x1: auto-disabled (multi-device "
+                      "global-batch BN)")
+            if mk is None:
+                mk = False
         extra = dict(interaction=cfg.model.interaction,
                      attention=cfg.model.attention,
                      using_REM=cfg.model.using_REM,
-                     fused_1x1=fused)
+                     fused_1x1=fused, block_megakernel=mk)
     model = build_model(
         name=cfg.model.name,
         num_classes=datamanager.num_train_pids,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch):
+def build(batch, **model_kw):
     from ieee_tpu.engine import Image3MEngine
     from ieee_tpu.models import build_model
     from ieee_tpu.optim import build_lr_scheduler, build_optimizer
@@ -32,7 +32,7 @@ def build(batch):
         num_pids=num_pids, imgs_per_pid=8, verbose=False, seed=0,
     )
     model = build_model("ieee3modalPart", num_classes=num_pids, loss="margin",
-                        pretrained=False)
+                        pretrained=False, **model_kw)
     tx = build_optimizer(optim="sgd", lr=0.001, momentum=0.9,
                          weight_decay=5e-4)
     sched = build_lr_scheduler("multi_step", stepsize=[20, 40], base_lr=0.001)
@@ -205,9 +205,19 @@ def run_gconv(batch):
         print(f"{name}: {(time.perf_counter()-t0)*1e3:.1f} ms", flush=True)
 
 
+def run_megakernel(batch):
+    """Pallas whole-block backward on every stride-1 bottleneck
+    (ops/pallas/block_bwd.py; round-3 VERDICT item 4). Whole-step protocol,
+    identical program otherwise."""
+    eng, imgs, pids = build(batch, block_megakernel=True)
+    time_step(eng, eng._build_train_step(), imgs, pids, "megakernel", batch)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    if which == "megakernel":
+        run_megakernel(batch)
     if which in ("base", "all"):
         run_base(batch)
     if which in ("remat", "all"):
