@@ -136,6 +136,13 @@ def get_default_config() -> ConfigNode:
     # training from scratch: the 3M term's trunk gradient otherwise
     # dominates CE by 200-500x (E2E_DIAG_r03.jsonl)
     cfg.loss.weight_m_warmup = 0
+    # TPU-first extension (documented divergence, losses/margin.py): average
+    # the 3M loss over ids instead of the reference's sum, making the
+    # margin:CE gradient ratio batch-size-invariant. The reference's batch-8
+    # protocol has P=2 ids/batch; at TPU batch 128 the summed term is 16x
+    # stronger relative to CE and from-scratch CE flatlines (round-3/4
+    # controls). False = reference-exact.
+    cfg.loss.margin_mean_over_ids = False
 
     # test
     cfg.test = ConfigNode()

@@ -84,6 +84,8 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             datamanager, model, margin=cfg.loss.ieee_margin,
             weight_m=cfg.loss.weight_m, weight_x=cfg.loss.weight_x,
             weight_m_warmup=int(getattr(cfg.loss, "weight_m_warmup", 0)),
+            margin_mean_over_ids=bool(
+                getattr(cfg.loss, "margin_mean_over_ids", False)),
             label_smooth=cfg.loss.softmax.label_smooth, **common)
     if name in ("hcloss", "CMT"):
         return ImageHCEngine(

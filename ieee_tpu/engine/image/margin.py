@@ -16,13 +16,18 @@ from .softmax import _deep_ce
 class Image3MEngine(Engine):
     def __init__(self, datamanager, model, optimizer=None, scheduler=None,
                  use_gpu=True, label_smooth=True, margin=3.0, weight_m=1.0,
-                 weight_x=1.0, weight_m_warmup=0, **kwargs):
+                 weight_x=1.0, weight_m_warmup=0,
+                 margin_mean_over_ids=False, **kwargs):
         super().__init__(datamanager, model, optimizer, scheduler,
                          use_gpu=use_gpu, **kwargs)
         self.label_smooth = label_smooth
         self.margin = float(margin)
         self.weight_m = weight_m
         self.weight_x = weight_x
+        # documented divergence knob (losses/margin.py mean_over_ids): makes
+        # the 3M term batch-size-invariant so large-batch TPU training is not
+        # structurally worse than the reference's batch-8 protocol
+        self.margin_mean_over_ids = bool(margin_mean_over_ids)
         # TPU-first extension (no reference analog): linearly ramp weight_m
         # from 0 to its target over the first `weight_m_warmup` epochs.
         # Motivated by the measured gradient dominance of the 3M term from
@@ -55,6 +60,7 @@ class Image3MEngine(Engine):
             loss_m = multi_modal_margin_loss(
                 out["feat_R"], out["feat_N"], out["feat_T"],
                 num_instances=self.num_instances, margin=self.margin,
+                mean_over_ids=self.margin_mean_over_ids,
             )
             wm = hp["weight_m"] if hp and "weight_m" in hp else self.weight_m
             loss = loss + wm * loss_m

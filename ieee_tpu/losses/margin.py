@@ -27,12 +27,22 @@ def _pair_mse_sum(c1, c2):
     return jnp.sum(d * d, axis=-1)
 
 
-def multi_modal_margin_loss(feat1, feat2, feat3, num_instances, margin=3.0):
+def multi_modal_margin_loss(feat1, feat2, feat3, num_instances, margin=3.0,
+                            mean_over_ids=False):
     """Args:
         feat1/2/3: (B, D) per-modality features (R, N, T), B = P * num_instances
             with the sampler's K-consecutive-per-pid layout.
         num_instances: static K from the P x K sampler.
         margin: target inter-modality center distance.
+        mean_over_ids: documented TPU divergence knob. The reference SUMS the
+            per-id terms (``multi_modal_margin_loss_new.py:38-40``), so the
+            margin:CE gradient ratio scales with P = batch/K — at TPU batch
+            128/K=4 that is 16x the reference's batch-8/P=2 protocol, and the
+            round-3/4 controls show it: from-scratch CE flatlines at P=32
+            (E2E_TRAIN_r03.json) but descends at the reference's own P=2
+            scale (E2E_CONTROL_refproto_r04.json). ``True`` averages over ids
+            instead, making the margin term batch-size-invariant (like the
+            CE term, which DeepSupervision means over the batch).
     """
     feats = [jnp.asarray(f) for f in (feat1, feat2, feat3)]
     b, d = feats[0].shape
@@ -45,6 +55,8 @@ def multi_modal_margin_loss(feat1, feat2, feat3, num_instances, margin=3.0):
     d23 = jnp.abs(margin - _pair_mse_sum(centers[1], centers[2]))
     d13 = jnp.abs(margin - _pair_mse_sum(centers[0], centers[2]))
     per_id = jnp.maximum(jnp.maximum(d12, d23), d13)  # (P,)
+    if mean_over_ids:
+        return jnp.mean(per_id)
     return jnp.sum(per_id)
 
 

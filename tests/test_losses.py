@@ -76,6 +76,12 @@ def test_margin_3m_matches_direct_formula():
         want += max(abs(margin - d12), abs(margin - d23), abs(margin - d13))
     assert got == pytest.approx(want, rel=1e-4)
 
+    # mean_over_ids (documented divergence knob): exactly sum/P, so the
+    # margin:CE gradient ratio stops scaling with batch size
+    got_mean = float(multi_modal_margin_loss(
+        f1, f2, f3, num_instances=K, margin=margin, mean_over_ids=True))
+    assert got_mean == pytest.approx(want / P, rel=1e-4)
+
 
 def test_hetero_loss():
     rng = np.random.default_rng(4)

@@ -73,7 +73,10 @@ run() { # run <tag> <out> [train_e2e args...]
   return 1
 }
 
-base_ckpt() { ls -t "$CKPTS"/base/model/epoch-*.msgpack 2>/dev/null | head -1; }
+base_ckpt() {
+  ls -t "$CKPTS"/base/model/model.msgpack-* 2>/dev/null \
+    | grep -v '\.json$' | head -1
+}
 
 # --- 1. base trunk (also the Table-3 base row) ------------------------------
 # NOT skipped on artifact-complete alone: the warm starts need the checkpoint

@@ -99,6 +99,10 @@ def main():
                     help="ramp weight_m 0->target over the first N "
                          "epochs (margin gradient dominates 200-500x "
                          "from scratch, E2E_DIAG_r03.jsonl)")
+    ap.add_argument("--margin-mean", action="store_true",
+                    help="average the 3M loss over ids instead of the "
+                         "reference's sum (cfg.loss.margin_mean_over_ids): "
+                         "batch-size-invariant margin:CE ratio")
     ap.add_argument("--stepsize", type=str, default="20,40")
     ap.add_argument("--variant", type=str, default="full",
                     choices=["base", "cim", "cim3m", "full"],
@@ -177,7 +181,8 @@ def main():
         "optim": (f"{args.optim} lr {lr} wd 5e-4, "
                   f"multi_step {stepsize}, weight_m {args.weight_m}"
                   + (f" warmup {args.weight_m_warmup}"
-                     if args.weight_m_warmup else "")),
+                     if args.weight_m_warmup else "")
+                  + (" margin_mean_over_ids" if args.margin_mean else "")),
         "backbone_layers": args.backbone_layers or "full (3,4,6,3)",
         "variant": args.variant,
     }
@@ -213,6 +218,7 @@ def main():
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=sched, margin=1.0,
                         weight_m=args.weight_m, seed=0,
                         weight_m_warmup=args.weight_m_warmup,
+                        margin_mean_over_ids=args.margin_mean,
                         compiler_options=compiler_options)
 
     resume_path = ""
