@@ -132,9 +132,14 @@ def test_accum_steps_matches_manual_microbatching():
     model = build_model("resnet18", num_classes=dm.num_train_pids,
                         loss="softmax", pretrained=False, dtype="float32")
     tx = build_optimizer(optim="sgd", lr=0.1, momentum=0.9, weight_decay=5e-4)
-    eng_a = ImageSoftmaxEngine(dm, model, optimizer=tx,
+    # 1-device mesh: the manual oracle below runs EAGER grad/forward calls.
+    # Eager ops over dp-sharded arrays launch per-op cross-device all-reduces
+    # (BN stats) whose 40 s rendezvous aborts the process when the single CPU
+    # core is contended. Multi-device coverage lives in test_multichip.py.
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
+    eng_a = ImageSoftmaxEngine(dm, model, optimizer=tx, mesh=mesh,
                                scheduler=lambda e: 0.1, seed=0, accum_steps=2)
-    eng_b = ImageSoftmaxEngine(dm, model, optimizer=tx,
+    eng_b = ImageSoftmaxEngine(dm, model, optimizer=tx, mesh=mesh,
                                scheduler=lambda e: 0.1, seed=0)
 
     data = next(iter(dm.train_loader))
@@ -213,8 +218,11 @@ def test_weight_m_warmup_schedule_and_injection():
                         loss="margin", pretrained=False,
                         backbone_layers=(1, 1, 1, 1))
     tx = build_optimizer(optim="sgd", lr=0.1)
+    # 1-device mesh: see test_accum_steps_matches_manual_microbatching —
+    # the eager _forward_train below must not launch per-op collectives.
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
     eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
-                        seed=0, weight_m=2.0, weight_m_warmup=4)
+                        seed=0, mesh=mesh, weight_m=2.0, weight_m_warmup=4)
 
     # schedule shape (epoch is 0-based: first epoch pure CE, full at N)
     assert eng.loss_hparams(0) == {"weight_m": 0.0}
