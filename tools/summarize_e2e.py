@@ -25,7 +25,10 @@ def row(path: str) -> dict:
     return {
         "artifact": path,
         "variant": proto.get("variant", "?"),
-        "split": proto.get("test_split", "?").split(" ")[0],
+        # "held-out images of seen ids (closed-set)" must not truncate to
+        # the open-set-looking "held-out"
+        "split": ("seen-ids" if "seen ids" in proto.get("test_split", "")
+                  else proto.get("test_split", "?").split(" ")[0]),
         "backbone": proto.get("backbone_layers", "?"),
         "epochs": f"{last_ep}/{proto.get('epochs', '?')}",
         "loss_last": (losses.get(str(last_ep)) or
