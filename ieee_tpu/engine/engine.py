@@ -61,8 +61,25 @@ def _bn_eval_interceptor(open_layers):
             if not any(o in top for o in opens):
                 if len(args) >= 2:  # use_running_average passed positionally
                     args = (args[0], True) + tuple(args[2:])
-                else:
+                elif (isinstance(mod, FastBatchNorm)
+                      or "use_running_average" in kwargs
+                      or mod.use_running_average is None):
+                    # call-time arg wins (FastBatchNorm resolves arg-over-
+                    # attr; nn.BatchNorm merge_param allows it iff the
+                    # constructor attr is None)
                     kwargs = dict(kwargs, use_running_average=True)
+                elif mod.use_running_average is False:
+                    # nn.BatchNorm constructed with a concrete bool (e.g.
+                    # ieee3modal PartFC's use_running_average=not train):
+                    # merge_param rejects a call-time override, so flip the
+                    # attribute for this one call. object.__setattr__
+                    # bypasses flax's setup-only setattr guard; the bound
+                    # module instance is unique to this call site.
+                    object.__setattr__(mod, "use_running_average", True)
+                    try:
+                        return next_fun(*args, **kwargs)
+                    finally:
+                        object.__setattr__(mod, "use_running_average", False)
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -638,9 +655,13 @@ class Engine:
         mask = self._open_layers_mask(open_layers) if fixbase else None
         # fixbase_bn_eval (default True, faithful): frozen modules' BN runs
         # in .eval() semantics — normalize by running stats, no stat update
-        # (the interceptor handles both, so no stats_mask is needed).
-        # fixbase_bn_freeze (legacy weaker knob, only relevant when bn_eval
-        # is off): batch-stat normalization but pinned running stats.
+        # (the interceptor handles both for flax BN modules).
+        # fixbase_bn_freeze: batch-stat normalization but pinned running
+        # stats. Kept active even with bn_eval on: the Pallas fused paths
+        # (cfg.tpu.fused_1x1 / block_megakernel) compute BN outside flax
+        # modules where the interceptor can't reach — there the post-hoc
+        # stats_mask pin is the only freeze mechanism (for interceptor-
+        # covered modules it is a no-op since their stats don't change).
         bn_eval = None
         if fixbase and fixbase_bn_eval:
             ol = [open_layers] if isinstance(open_layers, str) else \
@@ -648,7 +669,7 @@ class Engine:
             bn_eval = tuple(ol)
         stats_mask = (
             self._open_layers_mask(open_layers, tree=self.state.batch_stats)
-            if (fixbase and fixbase_bn_freeze and bn_eval is None) else None
+            if (fixbase and fixbase_bn_freeze) else None
         )
 
         num_batches = len(self.train_loader)

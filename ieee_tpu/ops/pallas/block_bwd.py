@@ -79,10 +79,12 @@ def _bn_train(a, scale, bias):
     return out, mu, var, rstd
 
 
-def block_fwd_jnp(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
-    """Pure train-mode forward of the stride-1 bottleneck; the exact program
-    the plain flax module (ConvBN + FastBatchNorm) runs. Returns
-    (y, stats) with stats = (mu1, var1, mu2, var2, mu3, var3)."""
+def _fwd_full(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
+    """Single source of truth for the train-mode stride-1 bottleneck
+    forward — the exact program the plain flax module (ConvBN +
+    FastBatchNorm) runs. Returns (y, stats, pre-BN activations); both the
+    custom_vjp primal and its fwd rule go through here so the two can
+    never drift."""
     dtype = x.dtype
     a1 = _conv(x, k1, dtype)
     o1, mu1, var1, _ = _bn_train(a1, s1, b1)
@@ -93,7 +95,14 @@ def block_fwd_jnp(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
     a3 = _conv(h2, k3, dtype)
     o3, mu3, var3, _ = _bn_train(a3, s3, b3)
     y = jnp.maximum(o3 + x, 0)
-    return y, (mu1, var1, mu2, var2, mu3, var3)
+    return y, (mu1, var1, mu2, var2, mu3, var3), (a1, a2, a3)
+
+
+def block_fwd_jnp(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
+    """Pure train-mode forward of the stride-1 bottleneck. Returns
+    (y, stats) with stats = (mu1, var1, mu2, var2, mu3, var3)."""
+    y, stats, _ = _fwd_full(x, k1, s1, b1, k2, s2, b2, k3, s3, b3)
+    return y, stats
 
 
 def block_eval_jnp(x, k1, s1, b1, k2, s2, b2, k3, s3, b3, stats,
@@ -398,17 +407,13 @@ def bottleneck_train(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
 
 
 def _fwd(x, k1, s1, b1, k2, s2, b2, k3, s3, b3):
-    dtype = x.dtype
-    a1 = _conv(x, k1, dtype)
-    o1, mu1, var1, rstd1 = _bn_train(a1, s1, b1)
-    h1 = jnp.maximum(o1, 0)
-    a2 = _conv(h1, k2, dtype, padding=((1, 1), (1, 1)))
-    o2, mu2, var2, rstd2 = _bn_train(a2, s2, b2)
-    h2 = jnp.maximum(o2, 0)
-    a3 = _conv(h2, k3, dtype)
-    o3, mu3, var3, rstd3 = _bn_train(a3, s3, b3)
-    y = jnp.maximum(o3 + x, 0)
-    stats = (mu1, var1, mu2, var2, mu3, var3)
+    y, stats, (a1, a2, a3) = _fwd_full(x, k1, s1, b1, k2, s2, b2, k3, s3, b3)
+    mu1, var1, mu2, var2, mu3, var3 = stats
+    # rstds recomputed from the saved vars — [C] vectors, free next to the
+    # activation residuals
+    rstd1 = jax.lax.rsqrt(var1 + _EPS)
+    rstd2 = jax.lax.rsqrt(var2 + _EPS)
+    rstd3 = jax.lax.rsqrt(var3 + _EPS)
     saved = (x, a1, a2, a3, y, k1, s1, b1, k2, s2, b2, k3, s3, b3,
              mu1, rstd1, mu2, rstd2, mu3, rstd3)
     return (y, stats), saved

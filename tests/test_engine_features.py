@@ -84,6 +84,73 @@ def test_fixbase_bn_freeze_pins_frozen_running_stats():
     assert not np.allclose(mean_after, mean_before)
 
 
+def test_fixbase_bn_eval_handles_constructor_bound_batchnorm():
+    """Regression: ieee3modalPart's PartFC builds plain ``nn.BatchNorm`` with
+    a CONCRETE ``use_running_average=not train`` (ieee3modal.py:119) — flax
+    ``merge_param`` rejects a call-time override, so the bn_eval interceptor
+    must flip the attribute instead of passing the kwarg. Before the fix any
+    fixbase warmup on the IEEE model (default fixbase_bn_eval=True,
+    open_layers=['classifier']) crashed on the first step; the frozen fc_*
+    BN stats must also stay pinned (.eval() semantics)."""
+    from ieee_tpu.engine import Image3MEngine
+
+    dm = ImageDataManager(
+        sources="synthetic_mm", height=64, width=32, batch_size_train=8,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("ieee3modalPart", num_classes=dm.num_train_pids,
+                        loss="margin", pretrained=False,
+                        backbone_layers=(1, 1, 1, 1))
+    tx = build_optimizer(optim="sgd", lr=0.1, momentum=0.0, weight_decay=0.0)
+    eng = Image3MEngine(dm, model, optimizer=tx, scheduler=lambda e: 0.1,
+                        margin=1.0, seed=0)
+    eng.max_epoch = 1
+    eng.epoch = 0
+    fc_bn_before = jax.tree_util.tree_map(
+        np.asarray, eng.state.batch_stats["fc_R"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1,
+                  open_layers=["classifier"])
+    # frozen PartFC BN ran in eval semantics: stats unchanged
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.tree_util.tree_map(np.asarray, eng.state.batch_stats["fc_R"]),
+        fc_bn_before,
+    )
+    # the open classifiers trained
+    cls = eng.state.params["classifier_R"]
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(cls)[0])).all()
+
+
+def test_fixbase_bn_freeze_composes_with_bn_eval():
+    """fixbase_bn_freeze must stay active when fixbase_bn_eval is also on:
+    the Pallas fused paths (cfg.tpu.fused_1x1 / block_megakernel) compute BN
+    outside flax modules where the bn_eval interceptor can't reach, so the
+    post-hoc stats_mask pin is their only freeze mechanism. Regression for
+    the round-4 review finding that bn_eval silently suppressed the mask."""
+    eng = _engine()
+    eng.max_epoch = 1
+    eng.epoch = 0
+    eng._train_step_fn = eng._build_train_step()
+    seen = {}
+    real = eng._train_step_fn
+
+    def spy(state, imgs, pids, key, lr, mask, stats_mask=None, hp=None,
+            bn_eval=None):
+        seen["stats_mask"] = stats_mask
+        seen["bn_eval"] = bn_eval
+        return real(state, imgs, pids, key, lr, mask, stats_mask, hp, bn_eval)
+
+    eng._train_step_fn = spy
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1,
+                  open_layers=["classifier"], fixbase_bn_eval=True,
+                  fixbase_bn_freeze=True)
+    assert seen["bn_eval"] == ("classifier",)
+    assert seen["stats_mask"] is not None
+
+
 def test_open_layers_respected_only_during_fixbase():
     eng = _engine()
     eng.max_epoch = 2

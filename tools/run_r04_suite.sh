@@ -84,7 +84,7 @@ if [ -z "$(base_ckpt)" ]; then
   rm -f E2E_ABLATION_base_r04.json   # ckpt gone => the row must re-run too
   run base E2E_ABLATION_base_r04.json \
     --variant base --optim amsgrad --lr 3e-4 --stepsize "$S1,$S2" \
-    --epochs "$EPOCHS" --save-freq 1000 --save-dir "$CKPTS/base"
+    --epochs "$EPOCHS" --save-freq 25 --save-dir "$CKPTS/base"
 fi
 CKPT=$(base_ckpt)
 if [ -z "$CKPT" ]; then
@@ -106,7 +106,8 @@ fi
 # --- 4. reference-faithful-scale control (from scratch) ---------------------
 run refproto E2E_CONTROL_refproto_r04.json \
   --variant full --optim sgd --lr 0.001 --stepsize "20,40" \
-  --batch 8 --epochs 61 --eval-freq 20 --save-dir /tmp/e2e_refproto
+  --batch 8 --epochs 61 --eval-freq 20 --save-freq 10 \
+  --save-dir /tmp/e2e_refproto
 
 # --- 5. int8 whole-pipeline eval number (VERDICT r3 item 6) ------------------
 CKPT=$(base_ckpt)
