@@ -87,7 +87,11 @@ def get_default_config() -> ConfigNode:
     # faithful-fixbase extension (no reference-config analog): freeze frozen
     # layers' BN running stats during warmup like torchtools.py:171-221's
     # .eval() flip; default False = round-1 behavior (stats keep updating).
-    # Only relevant when fixbase_bn_eval (below) is off.
+    # With fixbase_bn_eval (below) on, the stats pin is ALSO applied — it is
+    # a no-op for flax BN modules (the interceptor already skips their
+    # update) but required for the Pallas fused-BN paths (cfg.tpu.fused_1x1
+    # / block_megakernel), whose in-kernel stat updates the interceptor
+    # can't reach.
     cfg.train.fixbase_bn_freeze = False
     # full .eval() fidelity for frozen modules during fixbase warmup: BN
     # normalizes by RUNNING stats and skips the stat update, exactly the

@@ -657,11 +657,14 @@ class Engine:
         # in .eval() semantics — normalize by running stats, no stat update
         # (the interceptor handles both for flax BN modules).
         # fixbase_bn_freeze: batch-stat normalization but pinned running
-        # stats. Kept active even with bn_eval on: the Pallas fused paths
-        # (cfg.tpu.fused_1x1 / block_megakernel) compute BN outside flax
-        # modules where the interceptor can't reach — there the post-hoc
-        # stats_mask pin is the only freeze mechanism (for interceptor-
-        # covered modules it is a no-op since their stats don't change).
+        # stats.
+        # The post-hoc stats_mask pin applies under EITHER knob: the Pallas
+        # fused paths (cfg.tpu.fused_1x1 / block_megakernel) compute BN
+        # outside flax modules where the interceptor can't reach, so with
+        # bn_eval alone their running stats would silently drift during
+        # warmup. For interceptor-covered modules the pin is a no-op (their
+        # stats don't change). Residual divergence: fused-path NORMALIZATION
+        # still uses batch stats during warmup (documented in README).
         bn_eval = None
         if fixbase and fixbase_bn_eval:
             ol = [open_layers] if isinstance(open_layers, str) else \
@@ -669,7 +672,7 @@ class Engine:
             bn_eval = tuple(ol)
         stats_mask = (
             self._open_layers_mask(open_layers, tree=self.state.batch_stats)
-            if (fixbase and fixbase_bn_freeze) else None
+            if (fixbase and (fixbase_bn_freeze or fixbase_bn_eval)) else None
         )
 
         num_batches = len(self.train_loader)

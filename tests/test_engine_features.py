@@ -151,6 +151,31 @@ def test_fixbase_bn_freeze_composes_with_bn_eval():
     assert seen["stats_mask"] is not None
 
 
+def test_fixbase_bn_eval_alone_still_pins_stats():
+    """With the DEFAULT knobs (fixbase_bn_eval=True, fixbase_bn_freeze=False)
+    the stats_mask pin must still be passed: without it, the Pallas fused-BN
+    paths (which update ra_mean/ra_var in-kernel, out of the interceptor's
+    reach) would silently drift frozen layers' running stats during warmup.
+    Round-4 review finding #2."""
+    eng = _engine()
+    eng.max_epoch = 1
+    eng.epoch = 0
+    eng._train_step_fn = eng._build_train_step()
+    seen = {}
+    real = eng._train_step_fn
+
+    def spy(state, imgs, pids, key, lr, mask, stats_mask=None, hp=None,
+            bn_eval=None):
+        seen["stats_mask"] = stats_mask
+        return real(state, imgs, pids, key, lr, mask, stats_mask, hp, bn_eval)
+
+    eng._train_step_fn = spy
+    with contextlib.redirect_stdout(io.StringIO()):
+        eng.train(print_freq=1000, fixbase_epoch=1,
+                  open_layers=["classifier"])  # defaults: bn_eval only
+    assert seen["stats_mask"] is not None
+
+
 def test_open_layers_respected_only_during_fixbase():
     eng = _engine()
     eng.max_epoch = 2
