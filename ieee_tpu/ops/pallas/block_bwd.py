@@ -56,6 +56,14 @@ def _batch_tile(b: int, hw: int, target_rows: int = 1024) -> int:
     return bt
 
 
+def _rows_target(c: int) -> int:
+    """Row target so the widest (rows, c) bf16 activation block stays
+    <= 512 KiB — at layer3/4 widths (c=1024/2048) the default 1024-row
+    tiles push the kernel's VMEM-resident set past what Mosaic schedules
+    (observed remote-compile failures at those shapes only)."""
+    return min(1024, max(8, (1 << 19) // max(c, 1)))
+
+
 def _conv(x, w4d, dtype, strides=(1, 1), padding="VALID"):
     # native conv form for the XLA-compiled forward: round-2 measured
     # 1x1-as-dot_general at 198.5 ms/step vs 135.9 for the conv form
@@ -140,39 +148,41 @@ def _flat(v):
     return v.reshape(b * h * w, c)
 
 
-def _k_reduce3(dy_ref, y_ref, a3_ref, v3_ref, d3_ref, s3_ref, sacc):
+def _k_reduce3(dy_ref, y_ref, a3_ref, v3_ref, d3_ref, s3_ref):
     """d3 = dy*(y>0); accumulate S31=sum d3, S32=sum d3*xhat3.
-    v3 rows: 0=mu3 1=rstd3."""
-    i, ni = pl.program_id(0), pl.num_programs(0)
+    v3 rows: 0=mu3 1=rstd3.
+
+    The relu mask compares in f32: Mosaic on this target rejects bf16
+    cmpf ("Target does not support this comparison"). S3 accumulates
+    directly in the constant-index output block (sequential grid)."""
+    i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        sacc[:] = jnp.zeros_like(sacc)
+        s3_ref[:] = jnp.zeros_like(s3_ref)
 
-    g = jnp.where(y_ref[:] > 0, dy_ref[:].astype(jnp.float32), 0.0)
+    g = jnp.where(y_ref[:].astype(jnp.float32) > 0,
+                  dy_ref[:].astype(jnp.float32), 0.0)
     d3_ref[:] = g.astype(d3_ref.dtype)
     g2 = _flat(g)
     xhat = (_flat(a3_ref[:].astype(jnp.float32)) - v3_ref[0:1, :]) \
         * v3_ref[1:2, :]
-    sacc[0:1, :] += jnp.sum(g2, axis=0, keepdims=True)
-    sacc[1:2, :] += jnp.sum(g2 * xhat, axis=0, keepdims=True)
-
-    @pl.when(i == ni - 1)
-    def _():
-        s3_ref[:] = sacc[:]
+    s3_ref[0:1, :] += jnp.sum(g2, axis=0, keepdims=True)
+    s3_ref[1:2, :] += jnp.sum(g2 * xhat, axis=0, keepdims=True)
 
 
 def _k_bn3_apply(d3_ref, a3_ref, a2_ref, v3_ref, v2_ref, w3_ref,
-                 d2_ref, s2_ref, dw3_ref, sacc, dwacc):
+                 d2_ref, s2_ref, dw3_ref):
     """da3 = bn3_bwd(d3); dW3 += h2^T da3; d2 = (da3 @ W3^T) * m2; S21/S22.
     v3 rows: 0=inv3 1=mu3 2=rstd3 3=S31/N 4=S32/N.
-    v2 rows: 0=inv2 1=shift2 2=mu2 3=rstd2."""
-    i, ni = pl.program_id(0), pl.num_programs(0)
+    v2 rows: 0=inv2 1=shift2 2=mu2 3=rstd2.
+    S2/dW3 accumulate directly in their constant-index output blocks."""
+    i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        sacc[:] = jnp.zeros_like(sacc)
-        dwacc[:] = jnp.zeros_like(dwacc)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+        dw3_ref[:] = jnp.zeros_like(dw3_ref)
 
     d3 = _flat(d3_ref[:].astype(jnp.float32))
     xhat3 = (_flat(a3_ref[:].astype(jnp.float32)) - v3_ref[1:2, :]) \
@@ -183,7 +193,7 @@ def _k_bn3_apply(d3_ref, a3_ref, a2_ref, v3_ref, v2_ref, w3_ref,
     a2f = _flat(a2_ref[:].astype(jnp.float32))
     h2 = jnp.maximum(a2f * v2_ref[0:1, :] + v2_ref[1:2, :], 0.0)
     h2b = h2.astype(a2_ref.dtype)
-    dwacc[:] += jax.lax.dot_general(
+    dw3_ref[:] += jax.lax.dot_general(
         h2b, da3, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -194,30 +204,26 @@ def _k_bn3_apply(d3_ref, a3_ref, a2_ref, v3_ref, v2_ref, w3_ref,
     bt, hh, ww, cm = d2_ref.shape
     d2_ref[:] = d2.reshape(bt, hh, ww, cm).astype(d2_ref.dtype)
     xhat2 = (a2f - v2_ref[2:3, :]) * v2_ref[3:4, :]
-    sacc[0:1, :] += jnp.sum(d2, axis=0, keepdims=True)
-    sacc[1:2, :] += jnp.sum(d2 * xhat2, axis=0, keepdims=True)
-
-    @pl.when(i == ni - 1)
-    def _():
-        s2_ref[:] = sacc[:]
-        dw3_ref[:] = dwacc[:]
+    s2_ref[0:1, :] += jnp.sum(d2, axis=0, keepdims=True)
+    s2_ref[1:2, :] += jnp.sum(d2 * xhat2, axis=0, keepdims=True)
 
 
 def _k_conv2_bwd(d2_ref, a2_ref, a1_ref, v2_ref, v1_ref, w2_ref,
-                 d1_ref, s1_ref, dw2_ref, sacc, dwacc, h1p, dap):
+                 d1_ref, s1_ref, dw2_ref, h1p, dap):
     """da2 = bn2_bwd(d2); dW2[ky,kx] += shift(h1)^T @ da2;
     d1 = conv2_dx(da2) * m1; S11/S12. 3x3 stride-1 SAME via padded scratch +
     9 shifted matmuls each direction.
     v2 rows: 0=inv2 1=mu2 2=rstd2 3=S21/N 4=S22/N.
-    v1 rows: 0=inv1 1=shift1 2=mu1 3=rstd1."""
-    i, ni = pl.program_id(0), pl.num_programs(0)
+    v1 rows: 0=inv1 1=shift1 2=mu1 3=rstd1.
+    S1/dW2 accumulate directly in their constant-index output blocks."""
+    i = pl.program_id(0)
     bt, hh, ww, cm = d2_ref.shape
     n = bt * hh * ww
 
     @pl.when(i == 0)
     def _():
-        sacc[:] = jnp.zeros_like(sacc)
-        dwacc[:] = jnp.zeros_like(dwacc)
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
 
     d2 = _flat(d2_ref[:].astype(jnp.float32))
     a2f = _flat(a2_ref[:].astype(jnp.float32))
@@ -240,7 +246,7 @@ def _k_conv2_bwd(d2_ref, a2_ref, a1_ref, v2_ref, v1_ref, w2_ref,
             wk = w2_ref[ky, kx]  # (Cm_in, Cm_out) bf16
             # dW2[ky,kx] = sum_n h1p[shift ky,kx] (x) da2
             hs = h1p[:, ky:ky + hh, kx:kx + ww, :].reshape(n, cm)
-            dwacc[ky, kx] += jax.lax.dot_general(
+            dw2_ref[ky, kx] += jax.lax.dot_general(
                 hs, da2, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             # dh1 += da2p[shift 2-ky,2-kx] @ W2[ky,kx]^T (contract out-ch)
@@ -253,24 +259,20 @@ def _k_conv2_bwd(d2_ref, a2_ref, a1_ref, v2_ref, v1_ref, w2_ref,
     d1 = jnp.where(h1 > 0, dh1, 0.0)
     d1_ref[:] = d1.reshape(bt, hh, ww, cm).astype(d1_ref.dtype)
     xhat1 = (a1f - v1_ref[2:3, :]) * v1_ref[3:4, :]
-    sacc[0:1, :] += jnp.sum(d1, axis=0, keepdims=True)
-    sacc[1:2, :] += jnp.sum(d1 * xhat1, axis=0, keepdims=True)
-
-    @pl.when(i == ni - 1)
-    def _():
-        s1_ref[:] = sacc[:]
-        dw2_ref[:] = dwacc[:]
+    s1_ref[0:1, :] += jnp.sum(d1, axis=0, keepdims=True)
+    s1_ref[1:2, :] += jnp.sum(d1 * xhat1, axis=0, keepdims=True)
 
 
 def _k_bn1_apply(d1_ref, a1_ref, x_ref, d3_ref, v1_ref, w1_ref,
-                 dx_ref, dw1_ref, dwacc):
+                 dx_ref, dw1_ref):
     """da1 = bn1_bwd(d1); dW1 += x^T da1; dx = da1 @ W1^T + d3 (residual).
-    v1 rows: 0=inv1 1=mu1 2=rstd1 3=S11/N 4=S12/N."""
-    i, ni = pl.program_id(0), pl.num_programs(0)
+    v1 rows: 0=inv1 1=mu1 2=rstd1 3=S11/N 4=S12/N.
+    dW1 accumulates directly in its constant-index output block."""
+    i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        dwacc[:] = jnp.zeros_like(dwacc)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
 
     d1 = _flat(d1_ref[:].astype(jnp.float32))
     a1f = _flat(a1_ref[:].astype(jnp.float32))
@@ -279,7 +281,7 @@ def _k_bn1_apply(d1_ref, a1_ref, x_ref, d3_ref, v1_ref, w1_ref,
            ).astype(d1_ref.dtype)
 
     xb = _flat(x_ref[:])
-    dwacc[:] += jax.lax.dot_general(
+    dw1_ref[:] += jax.lax.dot_general(
         xb, da1, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -289,10 +291,6 @@ def _k_bn1_apply(d1_ref, a1_ref, x_ref, d3_ref, v1_ref, w1_ref,
     bt, hh, ww, _ = x_ref.shape
     dx = dx.reshape(bt, hh, ww, -1) + d3_ref[:].astype(jnp.float32)
     dx_ref[:] = dx.astype(dx_ref.dtype)
-
-    @pl.when(i == ni - 1)
-    def _():
-        dw1_ref[:] = dwacc[:]
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +314,7 @@ def _full_spec(shape):
 
 def _reduce3(dy, y, a3, mu3, rstd3):
     b, h, w, c = dy.shape
-    bt = _batch_tile(b, h * w)
+    bt = _batch_tile(b, h * w, _rows_target(c))
     v3 = _vecs(mu3, rstd3, c=c)
     return pl.pallas_call(
         _k_reduce3,
@@ -326,7 +324,6 @@ def _reduce3(dy, y, a3, mu3, rstd3):
         out_specs=[_bspec(bt, h, w, c), _vec_spec(c)],
         out_shape=[jax.ShapeDtypeStruct((b, h, w, c), dy.dtype),
                    jax.ShapeDtypeStruct((8, c), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, c), jnp.float32)],
         interpret=_interpret(),
     )(dy, y, a3, v3)
 
@@ -334,7 +331,7 @@ def _reduce3(dy, y, a3, mu3, rstd3):
 def _bn3_apply(d3, a3, a2, w3, v3, v2):
     b, h, w, c = d3.shape
     cm = a2.shape[-1]
-    bt = _batch_tile(b, h * w)
+    bt = _batch_tile(b, h * w, _rows_target(c))
     return pl.pallas_call(
         _k_bn3_apply,
         grid=(b // bt,),
@@ -346,15 +343,13 @@ def _bn3_apply(d3, a3, a2, w3, v3, v2):
         out_shape=[jax.ShapeDtypeStruct((b, h, w, cm), d3.dtype),
                    jax.ShapeDtypeStruct((8, cm), jnp.float32),
                    jax.ShapeDtypeStruct((cm, c), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, cm), jnp.float32),
-                        pltpu.VMEM((cm, c), jnp.float32)],
         interpret=_interpret(),
     )(d3, a3, a2, v3, v2, w3.astype(d3.dtype))
 
 
 def _conv2_bwd(d2, a2, a1, w2, v2, v1):
     b, h, w, cm = d2.shape
-    bt = _batch_tile(b, h * w)
+    bt = _batch_tile(b, h * w, _rows_target(cm))
     return pl.pallas_call(
         _k_conv2_bwd,
         grid=(b // bt,),
@@ -366,9 +361,7 @@ def _conv2_bwd(d2, a2, a1, w2, v2, v1):
         out_shape=[jax.ShapeDtypeStruct((b, h, w, cm), d2.dtype),
                    jax.ShapeDtypeStruct((8, cm), jnp.float32),
                    jax.ShapeDtypeStruct((3, 3, cm, cm), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, cm), jnp.float32),
-                        pltpu.VMEM((3, 3, cm, cm), jnp.float32),
-                        pltpu.VMEM((bt, h + 2, w + 2, cm), d2.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), d2.dtype),
                         pltpu.VMEM((bt, h + 2, w + 2, cm), d2.dtype)],
         interpret=_interpret(),
     )(d2, a2, a1, v2, v1, w2.astype(d2.dtype))
@@ -377,7 +370,7 @@ def _conv2_bwd(d2, a2, a1, w2, v2, v1):
 def _bn1_apply(d1, a1, x, d3, w1, v1):
     b, h, w, cm = d1.shape
     cin = x.shape[-1]
-    bt = _batch_tile(b, h * w)
+    bt = _batch_tile(b, h * w, _rows_target(cin))
     return pl.pallas_call(
         _k_bn1_apply,
         grid=(b // bt,),
@@ -387,7 +380,6 @@ def _bn1_apply(d1, a1, x, d3, w1, v1):
         out_specs=[_bspec(bt, h, w, cin), _full_spec((cin, cm))],
         out_shape=[jax.ShapeDtypeStruct((b, h, w, cin), x.dtype),
                    jax.ShapeDtypeStruct((cin, cm), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((cin, cm), jnp.float32)],
         interpret=_interpret(),
     )(d1, a1, x, d3, v1, w1.astype(d1.dtype))
 

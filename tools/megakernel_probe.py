@@ -38,8 +38,17 @@ def probe(tag, fn, *shapes_dtypes):
         print(f"  {tag}: OK", flush=True)
         return True
     except Exception as e:  # noqa: BLE001 — we want every failure class
-        msg = str(e).split("\n")[0][:300]
+        lines = str(e).split("\n")
+        msg = lines[0][:300]
+        # the remote-compile tunnel wraps Mosaic errors in an opaque HTTP
+        # 500 — surface any diagnostic lines buried deeper in the message
+        keys = ("mosaic", "comparison", "vmem", "exceeds", "mlir",
+                "unsupported", "not support", "alloc")
+        extra = [ln.strip()[:300] for ln in lines[1:]
+                 if any(k in ln.lower() for k in keys)][:4]
         print(f"  {tag}: FAIL {type(e).__name__}: {msg}", flush=True)
+        for ln in extra:
+            print(f"      | {ln}", flush=True)
         return False
 
 
