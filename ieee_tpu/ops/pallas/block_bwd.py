@@ -58,9 +58,10 @@ def _batch_tile(b: int, hw: int, target_rows: int = 1024) -> int:
 
 def _rows_target(c: int) -> int:
     """Row target so the widest (rows, c) bf16 activation block stays
-    <= 512 KiB — at layer3/4 widths (c=1024/2048) the default 1024-row
-    tiles push the kernel's VMEM-resident set past what Mosaic schedules
-    (observed remote-compile failures at those shapes only)."""
+    <= 1 MiB (512Ki elements) — at layer3/4 widths (c=1024/2048) the
+    default 1024-row tiles push the kernel's VMEM-resident set past what
+    Mosaic schedules (observed remote-compile failures at those shapes
+    only). In-kernel f32 casts double the live footprint per block."""
     return min(1024, max(8, (1 << 19) // max(c, 1)))
 
 

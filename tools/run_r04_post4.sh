@@ -19,6 +19,14 @@ if [ -n "$prev" ]; then
   echo "=== waiting for post3 queue (pid $prev) ($(date)) ==="
   while kill -0 "$prev" 2>/dev/null; do sleep 60; done
 fi
+# belt-and-braces: the pid file may be stale/absent — also wait until no
+# other TPU client (trainer/bench/variant harness) is alive (read-only
+# pgrep; never kill by pattern)
+while pgrep -f 'tools/train_e2e.py|bench.py|tools/exp_variants.py|tools/int8_e2e_eval.py' \
+    > /dev/null 2>&1; do
+  echo "other TPU client still running ($(date)); waiting"
+  sleep 60
+done
 echo "=== chip free ($(date)) ==="
 
 echo "=== megakernel probe ($(date)) ==="
@@ -33,8 +41,8 @@ if [ "$fails" = "0" ] && [ "$rc" = "0" ]; then
   timeout 3600 python tools/exp_variants.py megakernel 128 \
     > /tmp/mega_step4.log 2>&1
   echo "measurement rc=$? -> /tmp/mega_step4.log"
-  grep -E 'ms/step' /tmp/mega_step4.log | sed 's/^/megakernel /' \
-    >> MEGAKERNEL_BENCH_r04.txt || true
+  # exp_variants already labels its line "megakernel: X ms/step"
+  grep -E 'ms/step' /tmp/mega_step4.log >> MEGAKERNEL_BENCH_r04.txt || true
   tail -5 /tmp/mega_step4.log
 else
   echo "probe still failing; skipping whole-step measurement"
@@ -48,5 +56,22 @@ for b in 256 512; do
     && tail -3 "/tmp/int8_b${b}.log" \
     || echo "int8 b=$b rc=$? (see /tmp/int8_b${b}.log)"
 done
+# merge the sweep into the committed artifact (batch_sweep section)
+python - <<'EOF'
+import json, os
+path = "INT8_EVAL_r04.json"
+art = json.load(open(path))
+sweep = art.setdefault("batch_sweep", {})
+for b in (256, 512):
+    p = f"/tmp/int8_eval_b{b}.json"
+    if os.path.exists(p):
+        d = json.load(open(p))
+        sweep[str(b)] = {k: d[k] for k in
+                         ("bf16", "int8", "fwd_speedup", "pipeline_speedup",
+                          "mAP_delta") if k in d}
+with open(path, "w") as f:
+    json.dump(art, f, indent=1)
+print("merged batch_sweep:", list(sweep))
+EOF
 
 echo "=== r04 post4 done ($(date)) ==="
