@@ -61,6 +61,17 @@ def resolve_block_megakernel(flag):
         return False
     return bool(flag)
 
+
+def megakernel_vmem_ok(width: int) -> bool:
+    """Per-block VMEM gate for the whole-block backward. Its conv2 pass
+    keeps the full 3x3 weight (bf16) plus the f32 dW accumulator
+    VMEM-resident: 9*width^2*(2+4) bytes. At width 512 (layer4) that is
+    ~13.5 MiB before activations and Mosaic's stack allocation OOMs on the
+    v5e (measured via tools/megakernel_probe.py, r04); width<=256 compiles
+    at every ResNet-50 stage shape. Wider blocks fall back to the plain
+    XLA path until the kernel grows a kernel-position grid axis."""
+    return width <= 256
+
 __all__ = [
     "ResNetTrunk",
     "ReIDResNet",
@@ -127,7 +138,8 @@ class Bottleneck(nn.Module):
         k_in = x.shape[-1]
         c_out = self.planes * self.expansion
         if (self.block_megakernel and self.groups == 1
-                and self.strides == 1 and not self.downsample):
+                and self.strides == 1 and not self.downsample
+                and megakernel_vmem_ok(width)):
             return self._megakernel_block(x, width, k_in, c_out, train)
         base_ok = self.fused_1x1 and self.groups == 1
         fuse_cb1 = base_ok and fuse_worthwhile(k_in, width)

@@ -205,3 +205,34 @@ def test_downsample_and_stride_blocks_stay_plain():
     assert "downsample" in v["params"]
     y, _ = mod.apply(v, x, train=True, mutable=["batch_stats"])
     assert y.shape == (B, H // 2, W // 2, CM)
+
+
+def test_vmem_width_gate(monkeypatch):
+    """width>256 blocks must NOT dispatch to the megakernel (layer4's
+    conv2 pass VMEM-OOMs on the v5e — megakernel_vmem_ok docstring);
+    width<=256 blocks must. Both paths share one param tree, so the probe
+    is a sentinel patched over bottleneck_train."""
+    from ieee_tpu.models.resnet import megakernel_vmem_ok
+    from ieee_tpu.ops.pallas import block_bwd
+
+    assert megakernel_vmem_ok(256) and not megakernel_vmem_ok(512)
+
+    class _Sentinel(Exception):
+        pass
+
+    def _boom(*a, **k):
+        raise _Sentinel
+
+    monkeypatch.setattr(block_bwd, "bottleneck_train", _boom)
+    rng = np.random.default_rng(7)
+
+    # width 512 (planes=512): falls back to the plain path -> no sentinel
+    wide = Bottleneck(planes=512, dtype=F32, block_megakernel=True)
+    xw = jnp.asarray(rng.standard_normal((1, 2, 2, 2048)), F32)
+    wide.init(jax.random.PRNGKey(0), xw, train=True)
+
+    # width 8 block: megakernel path -> sentinel fires
+    narrow = Bottleneck(planes=2, dtype=F32, block_megakernel=True)
+    xn = jnp.asarray(rng.standard_normal((B, H, W, 8)), F32)
+    with pytest.raises(_Sentinel):
+        narrow.init(jax.random.PRNGKey(0), xn, train=True)
