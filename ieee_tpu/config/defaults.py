@@ -211,6 +211,16 @@ def get_default_config() -> ConfigNode:
     # math is exactly the single-device program. For large inputs / small
     # per-chip batch. Requires sync_batchnorm; exclusive with tensor_parallel
     cfg.tpu.spatial_parallel = False
+    # GPipe-style pipeline parallelism (parallel/pipeline.py): split the
+    # model into N contiguous stages over a ('pipe', 'data') mesh — e.g.
+    # tpu.mesh_shape [2,4] tpu.mesh_axes "['pipe','data']" with
+    # pipeline_parallel 2. Each stage's params + optimizer moments live only
+    # on its slice; microbatches flow through over ICI. 0 = off. Requires
+    # sync_batchnorm; exclusive with tensor/spatial parallel + accum_steps.
+    cfg.tpu.pipeline_parallel = 0
+    # microbatches per step under pipeline_parallel (0 = one per stage, the
+    # standard GPipe fill/drain). Batch must divide evenly.
+    cfg.tpu.pipeline_microbatches = 0
 
     return cfg
 

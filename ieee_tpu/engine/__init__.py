@@ -57,6 +57,9 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             int8_eval=bool(getattr(tpu, "int8_eval", False)),
             tensor_parallel=bool(getattr(tpu, "tensor_parallel", False)),
             spatial_parallel=bool(getattr(tpu, "spatial_parallel", False)),
+            pipeline_parallel=int(getattr(tpu, "pipeline_parallel", 0)),
+            pipeline_microbatches=int(
+                getattr(tpu, "pipeline_microbatches", 0)),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

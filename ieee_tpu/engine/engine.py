@@ -135,7 +135,8 @@ class Engine:
                  sync_batchnorm: bool = True, compiler_options=None,
                  rerank_bf16: bool = False, fused_eval: bool = False,
                  int8_eval: bool = False, tensor_parallel: bool = False,
-                 spatial_parallel: bool = False, accum_steps: int = 1):
+                 spatial_parallel: bool = False, accum_steps: int = 1,
+                 pipeline_parallel: int = 0, pipeline_microbatches: int = 0):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -202,6 +203,46 @@ class Engine:
         if int(accum_steps) < 1:
             raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
         self.accum_steps = int(accum_steps)
+        # cfg.tpu.pipeline_parallel: GPipe-style stage parallelism over a
+        # mesh whose FIRST axis is 'pipe' (parallel/pipeline.py) — params +
+        # optimizer moments live only on their stage's device slice; the
+        # batch flows through as microbatches. TPU-native capability beyond
+        # the reference's DataParallel (SURVEY §2.8 "Pipeline parallel: no").
+        self.pipeline_parallel = int(pipeline_parallel)
+        self._pp_plan = None
+        if self.pipeline_parallel:
+            if tensor_parallel or spatial_parallel:
+                raise ValueError(
+                    "tpu.pipeline_parallel is exclusive with tensor_parallel "
+                    "and spatial_parallel (stage slices own the whole model "
+                    "axis budget)")
+            if not sync_batchnorm:
+                raise ValueError(
+                    "tpu.pipeline_parallel requires tpu.sync_batchnorm=True: "
+                    "per-replica BN (shard_map) cannot cross stage jits")
+            if self.accum_steps > 1:
+                raise ValueError(
+                    "tpu.pipeline_parallel already microbatches the step — "
+                    "set tpu.pipeline_microbatches, not train.accum_steps")
+            if "data" not in self.mesh.axis_names:
+                raise ValueError(
+                    "tpu.pipeline_parallel needs a ('pipe', 'data') mesh "
+                    f"(data size may be 1), got axes {self.mesh.axis_names}; "
+                    "set cfg.tpu.mesh_shape/mesh_axes accordingly")
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                raise ValueError(
+                    "tpu.pipeline_parallel is single-process (the host "
+                    "drives the fill/drain schedule); it does not compose "
+                    "with multi-host yet")
+            from ..parallel import PipelinePlan
+
+            self._pp_plan = PipelinePlan(
+                model.module, self.pipeline_parallel, self.mesh)
+        # default GPipe schedule: as many microbatches as stages
+        self.pipeline_microbatches = int(pipeline_microbatches) or \
+            self.pipeline_parallel
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -218,7 +259,16 @@ class Engine:
             )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = optimizer.init(params) if optimizer is not None else None
+        if optimizer is None:
+            opt_state = None
+        elif self._pp_plan is not None:
+            # per-stage optimizer states: each stage's moments are init'd
+            # over ONLY its param subtree and will live on its mesh slice
+            opt_state = tuple(
+                optimizer.init(self._pp_plan.filter_tree(params, i))
+                for i in range(self._pp_plan.n_stages))
+        else:
+            opt_state = optimizer.init(params)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
@@ -271,6 +321,22 @@ class Engine:
             from ..parallel import shard_tree, tp_shardings
 
             return shard_tree(self.mesh, state, tp_shardings(self.mesh, state))
+        if self._pp_plan is not None:
+            plan = self._pp_plan
+            opt_state = state.opt_state
+            if opt_state is not None:
+                opt_state = tuple(
+                    jax.tree_util.tree_map(
+                        lambda x, s=plan.stage_replicated(i): jax.device_put(
+                            x, s), opt_state[i])
+                    for i in range(plan.n_stages))
+            return TrainState(
+                params=plan.place_tree(state.params),
+                batch_stats=plan.place_tree(state.batch_stats),
+                opt_state=opt_state,
+                step=jax.device_put(
+                    state.step, plan.stage_replicated(plan.n_stages - 1)),
+            )
         return replicate(self.mesh, state)
 
     def _log_metrics(self, record: dict) -> None:
@@ -642,7 +708,12 @@ class Engine:
         data_time = AverageMeter()
 
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
+            if self._pp_plan is not None:
+                from ..parallel import PipelineTrainStep
+
+                self._train_step_fn = PipelineTrainStep(self)
+            else:
+                self._train_step_fn = self._build_train_step()
 
         lr = float(self.scheduler(self.epoch))
         hp = self.loss_hparams(self.epoch)
@@ -747,6 +818,17 @@ class Engine:
                 return jax.make_array_from_process_local_data(sh, x, gshape)
         else:
             put = jax.device_put
+        if self._pp_plan is not None:
+            # pipeline: the full batch enters at stage 0 (data-sharded over
+            # its slice); pids are consumed by the last stage's loss
+            plan = self._pp_plan
+            in_sh = plan.stage_batch(0)
+            pid_sh = plan.stage_replicated(plan.n_stages - 1)
+            if isinstance(imgs, (tuple, list)):
+                imgs = tuple(put(m, in_sh) for m in imgs)
+            else:
+                imgs = put(imgs, in_sh)
+            return imgs, put(pids, pid_sh)
         if isinstance(imgs, (tuple, list)):
             imgs = tuple(put(m, self._image_sharding(m.ndim)) for m in imgs)
         else:
@@ -793,9 +875,21 @@ class Engine:
             )
         return rank1  # last target only — reference quirk kept
 
+    def _eval_variables(self):
+        """(params, batch_stats) for the eval forward. Under
+        pipeline_parallel the training layout is stage-partitioned over
+        disjoint submeshes, which one jitted eval program cannot consume —
+        gather a full-mesh replicated copy (once per extraction pass;
+        ResNet-50-scale, cheap next to the eval itself)."""
+        if self._pp_plan is None:
+            return self.state.params, self.state.batch_stats
+        return (replicate(self.mesh, self.state.params),
+                replicate(self.mesh, self.state.batch_stats))
+
     def _feature_extraction(self, loader):
         if self._eval_step_fn is None:
             self._eval_step_fn = self._build_eval_step()
+        eval_params, eval_stats = self._eval_variables()
         feats, pids, camids = [], [], []
         t0 = time.time()
         # pad every batch to a mesh-divisible fixed size: avoids tail-batch
@@ -823,8 +917,7 @@ class Engine:
                     for m in imgs)
             else:
                 imgs = jax.device_put(imgs, self._image_sharding(imgs.ndim))
-            f = self._eval_step_fn(self.state.params, self.state.batch_stats,
-                                   imgs)
+            f = self._eval_step_fn(eval_params, eval_stats, imgs)
             feats.append(np.asarray(f[:n], np.float32))
             pids.extend(data["pid"].tolist())
             camids.extend(data["camid"].tolist())

@@ -226,12 +226,39 @@ class IEEE3modalPart(nn.Module):
             f_rest = self.CA[idx](f_rest) * f_rest + f_rest
         return f_one + f_rest
 
-    def __call__(self, x, train: bool = False, return_featuremaps: bool = False):
+    def __call__(self, x, train: bool = False, return_featuremaps: bool = False,
+                 pp_units=None):
+        """``pp_units`` (pipeline parallelism, parallel/pipeline.py): a
+        contiguous slice of the 5 logical units — 0..3 run that unit of all
+        three modal trunks in lockstep (x is then a 3-tuple of images or
+        feature maps, and a headless slice returns the 3 maps for the next
+        stage); unit 4 is the fusion head (CIM+pool+reduce+REM+fc+classifier).
+        """
+        if pp_units is not None:
+            pp_units = tuple(sorted(int(u) for u in pp_units))
+            if not pp_units or pp_units[-1] > 4 or pp_units[0] < 0:
+                raise ValueError(
+                    f"pp_units out of range: {pp_units} (5 logical units, "
+                    "0..4)")
+            trunk_units = tuple(u for u in pp_units if u < 4)
+            maps = x
+            if trunk_units:
+                maps = [self.backbones[i](x[i], train, units=trunk_units)
+                        for i in range(3)]
+            if 4 not in pp_units:
+                return tuple(maps)
+            return self._head(maps, train)
+
         maps = [self.backbones[i](x[i], train) for i in range(3)]  # (B,16,8,2048) x3
 
         if return_featuremaps:
             return tuple(maps)
 
+        return self._head(maps, train)
+
+    def _head(self, maps, train: bool = False):
+        """Everything after the three trunks: CIM interaction, part/global
+        pooling, shared reduce, REM, part FC necks, classifiers, outputs."""
         if self.interaction:
             pooled = [
                 self._cim(maps[0], maps[1], maps[2], 0, train),

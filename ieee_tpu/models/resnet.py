@@ -253,17 +253,35 @@ class ResNetTrunk(nn.Module):
         return 512 * _BLOCKS[self.block].expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_stages: bool = False):
+    def __call__(self, x, train: bool = False, return_stages: bool = False,
+                 units=None):
+        """``units`` (pipeline parallelism, parallel/pipeline.py): run only a
+        CONTIGUOUS slice of the trunk's units — unit 0 is stem+maxpool+layer1,
+        unit k is layer{k+1}. When the slice starts past unit 0, ``x`` is the
+        previous unit's feature map, not an image. Module names are explicit,
+        so the params materialized by a slice are exactly the matching subtree
+        of the full trunk's params."""
         block_cls = _BLOCKS[self.block]
         fused = resolve_fused_1x1(self.fused_1x1) and self.block == "bottleneck"
         mk = resolve_block_megakernel(self.block_megakernel) \
             and self.block == "bottleneck"
+        if units is None:
+            units = tuple(range(self.num_stages))
+        units = tuple(sorted(int(u) for u in units))
+        if units != tuple(range(units[0], units[-1] + 1)):
+            raise ValueError(f"trunk units must be contiguous, got {units}")
+        if units[-1] >= self.num_stages:
+            raise ValueError(
+                f"unit {units[-1]} out of range for a {self.num_stages}-stage "
+                "trunk")
         x = x.astype(self.dtype)
-        x = ConvBN(
-            64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
-            dtype=self.dtype, name="stem",
-        )(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if 0 in units:
+            x = ConvBN(
+                64, (7, 7), (2, 2), ((3, 3), (3, 3)), nonlinear="relu",
+                dtype=self.dtype, name="stem",
+            )(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         stages = []
         planes = (64, 128, 256, 512)[: self.num_stages]
@@ -272,25 +290,26 @@ class ResNetTrunk(nn.Module):
         for stage_idx, (p, n_blocks, s) in enumerate(
             zip(planes, self.layers, strides)
         ):
-            for b in range(n_blocks):
-                stride = s if b == 0 else 1
-                needs_down = b == 0 and (
-                    stride != 1 or in_planes != p * block_cls.expansion
-                )
-                extra = {"fused_1x1": fused, "block_megakernel": mk} \
-                    if self.block == "bottleneck" else {}
-                x = block_cls(
-                    planes=p,
-                    strides=stride,
-                    downsample=needs_down,
-                    groups=self.groups,
-                    base_width=self.width_per_group,
-                    dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{b}",
-                    **extra,
-                )(x, train)
+            if stage_idx in units:
+                for b in range(n_blocks):
+                    stride = s if b == 0 else 1
+                    needs_down = b == 0 and (
+                        stride != 1 or in_planes != p * block_cls.expansion
+                    )
+                    extra = {"fused_1x1": fused, "block_megakernel": mk} \
+                        if self.block == "bottleneck" else {}
+                    x = block_cls(
+                        planes=p,
+                        strides=stride,
+                        downsample=needs_down,
+                        groups=self.groups,
+                        base_width=self.width_per_group,
+                        dtype=self.dtype,
+                        name=f"layer{stage_idx + 1}_{b}",
+                        **extra,
+                    )(x, train)
+                stages.append(x)
             in_planes = p * block_cls.expansion
-            stages.append(x)
         if return_stages:
             return tuple(stages)
         return x
@@ -317,16 +336,35 @@ class ReIDResNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_featuremaps: bool = False):
-        f = ResNetTrunk(
-            block=self.block,
-            layers=self.layers,
-            groups=self.groups,
-            width_per_group=self.width_per_group,
-            last_stride=self.last_stride,
-            dtype=self.dtype,
-            name="trunk",
-        )(x, train)
+    def __call__(self, x, train: bool = False, return_featuremaps: bool = False,
+                 pp_units=None):
+        """``pp_units`` (pipeline parallelism): a contiguous slice of the 5
+        logical units — 0..3 are the trunk's units (see ``ResNetTrunk``),
+        4 is the pool+neck+classifier head. A slice without unit 4 returns
+        the feature map for the next stage; a slice starting past unit 0
+        takes a feature map as ``x``."""
+        trunk_units = None
+        if pp_units is not None:
+            pp_units = tuple(sorted(int(u) for u in pp_units))
+            if not pp_units or pp_units[-1] > 4 or pp_units[0] < 0:
+                raise ValueError(
+                    f"pp_units out of range: {pp_units} (5 logical units, "
+                    "0..4)")
+            trunk_units = tuple(u for u in pp_units if u < 4)
+        if pp_units is None or trunk_units:
+            f = ResNetTrunk(
+                block=self.block,
+                layers=self.layers,
+                groups=self.groups,
+                width_per_group=self.width_per_group,
+                last_stride=self.last_stride,
+                dtype=self.dtype,
+                name="trunk",
+            )(x, train, units=trunk_units)
+        else:
+            f = x
+        if pp_units is not None and 4 not in pp_units:
+            return f
         if return_featuremaps:
             return f
         v = global_avg_pool(f).astype(jnp.float32)

@@ -1,4 +1,5 @@
 from .multihost import ProcessShardSampler, init_multihost
+from .pipeline import PipelinePlan, PipelineTrainStep
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -19,4 +20,6 @@ __all__ = [
     "tp_shardings",
     "ProcessShardSampler",
     "init_multihost",
+    "PipelinePlan",
+    "PipelineTrainStep",
 ]
