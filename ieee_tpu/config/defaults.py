@@ -221,6 +221,11 @@ def get_default_config() -> ConfigNode:
     # microbatches per step under pipeline_parallel (0 = one per stage, the
     # standard GPipe fill/drain). Batch must divide evenly.
     cfg.tpu.pipeline_microbatches = 0
+    # ZeRO-1: shard optimizer moments over the 'data' axis (each chip owns
+    # 1/N of every moment; params stay replicated) — frees ~2/3 of the
+    # non-activation HBM state for adam-family at N>=4. Exclusive with
+    # tensor_parallel / pipeline_parallel (those already shard moments).
+    cfg.tpu.shard_opt_state = False
 
     return cfg
 

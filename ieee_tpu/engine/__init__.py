@@ -60,6 +60,7 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             pipeline_parallel=int(getattr(tpu, "pipeline_parallel", 0)),
             pipeline_microbatches=int(
                 getattr(tpu, "pipeline_microbatches", 0)),
+            shard_opt_state=bool(getattr(tpu, "shard_opt_state", False)),
         )
     name = cfg.loss.name
     is_video = getattr(datamanager, "data_type", "image") == "video"

@@ -136,7 +136,8 @@ class Engine:
                  rerank_bf16: bool = False, fused_eval: bool = False,
                  int8_eval: bool = False, tensor_parallel: bool = False,
                  spatial_parallel: bool = False, accum_steps: int = 1,
-                 pipeline_parallel: int = 0, pipeline_microbatches: int = 0):
+                 pipeline_parallel: int = 0, pipeline_microbatches: int = 0,
+                 shard_opt_state: bool = False):
         self.datamanager = datamanager
         self.model = model
         self.optimizer = optimizer
@@ -243,6 +244,22 @@ class Engine:
         # default GPipe schedule: as many microbatches as stages
         self.pipeline_microbatches = int(pipeline_microbatches) or \
             self.pipeline_parallel
+        # cfg.tpu.shard_opt_state (ZeRO-1): optimizer moments shard over the
+        # 'data' axis (parallel/mesh.py zero_shardings) — each chip owns 1/N
+        # of every moment; GSPMD partitions the elementwise update and
+        # all-gathers the applied param deltas over ICI. Params replicated.
+        # HBM: moments are 2x params for adam-family, so this frees ~2/3 of
+        # the non-activation state at N>=4. Beyond the reference (which
+        # replicates optimizer state per GPU under DataParallel).
+        self.shard_opt_state = bool(shard_opt_state)
+        self._opt_shardings = None
+        if self.shard_opt_state and (
+            tensor_parallel or self.pipeline_parallel
+        ):
+            raise ValueError(
+                "tpu.shard_opt_state is exclusive with tensor_parallel "
+                "(moments already follow the tp param shardings) and "
+                "pipeline_parallel (moments are already stage-sharded)")
 
         self.train_loader = datamanager.train_loader
         self.test_loader = datamanager.test_loader
@@ -336,6 +353,17 @@ class Engine:
                 opt_state=opt_state,
                 step=jax.device_put(
                     state.step, plan.stage_replicated(plan.n_stages - 1)),
+            )
+        if self.shard_opt_state and state.opt_state is not None:
+            from ..parallel import shard_tree, zero_shardings
+
+            self._opt_shardings = zero_shardings(self.mesh, state.opt_state)
+            return TrainState(
+                params=replicate(self.mesh, state.params),
+                batch_stats=replicate(self.mesh, state.batch_stats),
+                opt_state=shard_tree(self.mesh, state.opt_state,
+                                     self._opt_shardings),
+                step=replicate(self.mesh, state.step),
             )
         return replicate(self.mesh, state)
 
@@ -538,6 +566,13 @@ class Engine:
                     lambda new, old, m: jnp.where(m, new, old),
                     new_stats, state.batch_stats, stats_mask,
                 )
+            if self._opt_shardings is not None:
+                # ZeRO-1 (tpu.shard_opt_state): keep the updated moments
+                # pinned to their data-axis shards so GSPMD partitions the
+                # optimizer update instead of replicating the outputs
+                new_opt_state = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, new_opt_state,
+                    self._opt_shardings)
             metrics = dict(metrics)
             metrics["loss"] = loss
             new_state = TrainState(

@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
     shard_tree,
     tp_shardings,
+    zero_shardings,
     replicate,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "replicate",
     "shard_tree",
     "tp_shardings",
+    "zero_shardings",
     "ProcessShardSampler",
     "init_multihost",
     "PipelinePlan",

@@ -27,6 +27,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "tp_shardings",
+    "zero_shardings",
     "shard_tree",
 ]
 
@@ -100,6 +101,39 @@ def tp_shardings(mesh: Mesh, tree, axis: str = "model", min_size: int = 512):
         ):
             spec = P(*([None] * (len(shape) - 1) + [axis]))
             return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def zero_shardings(mesh: Mesh, tree, axis: str = "data",
+                   min_elems: int = 4096):
+    """ZeRO-1-style sharding rules for an optimizer-state tree.
+
+    The reference replicates optimizer state per GPU (torch semantics under
+    nn.DataParallel); on a TPU mesh the moments (2x the params for
+    adam-family) can instead shard over the ``data`` axis — each chip owns
+    1/N of every moment, GSPMD partitions the elementwise optimizer update
+    across chips, and the applied param update is all-gathered over ICI.
+    Params themselves stay replicated (ZeRO stage 1, not 2/3).
+
+    Rule (structural, like ``tp_shardings``): a leaf with >= ``min_elems``
+    elements shards its LAST dimension divisible by the axis size (conv
+    kernels [kh,kw,cin,cout] -> cout; Dense [f,c] -> c; BN vectors [c] ->
+    c); scalars, step counters, and small leaves stay replicated.
+    Correctness never depends on the rule — GSPMD reshards as needed; the
+    rule only decides what is distributed.
+    """
+    n = mesh.shape.get(axis, 1)
+
+    def rule(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if n > 1 and shape and int(np.prod(shape)) >= min_elems:
+            for d in range(len(shape) - 1, -1, -1):
+                if shape[d] % n == 0 and shape[d] >= n:
+                    spec = [None] * len(shape)
+                    spec[d] = axis
+                    return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, tree)

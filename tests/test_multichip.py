@@ -433,6 +433,89 @@ def test_spatial_parallel_validation():
                            spatial_parallel=True, sync_batchnorm=False, **kw)
 
 
+def test_shard_opt_state_zero1_matches_replicated():
+    """cfg.tpu.shard_opt_state (ZeRO-1): optimizer moments shard over the
+    data axis (each device owns 1/N), params stay replicated, the updated
+    moments keep their shards across the jitted step, and the step's math
+    matches the replicated run (layout-only change)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, train_sampler="RandomIdentitySampler",
+        num_instances=4, num_pids=8, imgs_per_pid=8, verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False, dtype="float32")
+    data = next(iter(dm.train_loader))  # the sampler is stateful: fetch once
+    mesh = make_mesh([8], ("data",))
+
+    def one_step(zero):
+        tx = build_optimizer(optim="adam", lr=0.01)  # adam: real moments
+        eng = ImageSoftmaxEngine(dm, model, optimizer=tx,
+                                 scheduler=lambda e: 0.01, mesh=mesh, seed=0,
+                                 shard_opt_state=zero)
+        if zero:
+            sharded = [
+                l for l in jax.tree_util.tree_leaves(eng.state.opt_state)
+                if hasattr(l, "sharding")
+                and not l.sharding.is_fully_replicated]
+            assert sharded, "ZeRO-1 placed no moment on the data axis"
+            assert all(len(l.sharding.device_set) == 8 for l in sharded)
+        step = eng._build_train_step()
+        imgs, pids = eng._put_batch(data)
+        eng.state, metrics = step(eng.state, imgs, pids,
+                                  jax.random.PRNGKey(0), 0.01, None, None)
+        if zero:
+            # updated moments kept their shards (the constraint held)
+            sharded = [
+                l for l in jax.tree_util.tree_leaves(eng.state.opt_state)
+                if hasattr(l, "sharding")
+                and not l.sharding.is_fully_replicated]
+            assert sharded, "step output re-replicated the moments"
+            # params replicated (ZeRO stage 1, not 2/3)
+            assert all(l.sharding.is_fully_replicated
+                       for l in jax.tree_util.tree_leaves(eng.state.params))
+        return float(metrics["loss"]), eng.state
+
+    loss_z, state_z = one_step(True)
+    loss_r, state_r = one_step(False)
+    np.testing.assert_allclose(loss_z, loss_r, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves_with_path(state_z.params),
+                    jax.tree_util.tree_leaves_with_path(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(a[0]))
+
+
+def test_shard_opt_state_validation_and_wiring():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dm = ImageDataManager(
+        sources="synthetic", height=32, width=16, batch_size_train=16,
+        batch_size_test=16, workers=0, num_pids=8, imgs_per_pid=8,
+        verbose=False, seed=0,
+    )
+    model = build_model("resnet18", num_classes=dm.num_train_pids,
+                        loss="softmax", pretrained=False)
+    kw = dict(optimizer=build_optimizer(optim="sgd", lr=0.01),
+              scheduler=lambda e: 0.01, seed=0)
+    with pytest.raises(ValueError, match="shard_opt_state"):
+        ImageSoftmaxEngine(dm, model, mesh=_tp_mesh(), shard_opt_state=True,
+                           tensor_parallel=True, **kw)
+    from ieee_tpu.config import get_default_config
+    from ieee_tpu.engine import build_engine
+
+    cfg = get_default_config()
+    cfg.model.name = "resnet18"
+    cfg.loss.name = "softmax"
+    cfg.tpu.mesh_shape = [8]
+    cfg.tpu.shard_opt_state = True
+    eng = build_engine(cfg, dm, model,
+                       build_optimizer(optim="sgd", lr=0.01), lambda e: 0.01)
+    assert eng.shard_opt_state is True
+    assert eng._opt_shardings is not None
+
+
 def test_image_sharding_rank_aware():
     """Under spatial_parallel the image sharding is rank-dispatched: 4-D
     NHWC shards H at dim 1, 5-D video tracklets (B,S,H,W,C) shard H at
