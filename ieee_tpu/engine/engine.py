@@ -573,6 +573,16 @@ class Engine:
                 new_opt_state = jax.tree_util.tree_map(
                     jax.lax.with_sharding_constraint, new_opt_state,
                     self._opt_shardings)
+                # ...and pin the applied params back to replicated — the
+                # ZeRO-1 all-gather happens on the (small) param delta, not
+                # on the moments; without this GSPMD propagates the moment
+                # shards into the param outputs
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                new_params = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, rep),
+                    new_params)
             metrics = dict(metrics)
             metrics["loss"] = loss
             new_state = TrainState(
