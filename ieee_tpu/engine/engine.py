@@ -112,6 +112,42 @@ def _mask_opt_state(new_os, old_os, mask, params_struct):
         new_os, old_os, is_leaf=params_like)
 
 
+def _apply_optimizer(tx, params, grads, opt_state, lr, mask,
+                     old_stats, new_stats, stats_mask):
+    """Shared optimizer tail for the engine train step AND the per-stage
+    pipeline update (parallel/pipeline.py ``_get_update``): inject lr,
+    apply the optax update, blend the fixbase param/moment masks, blend
+    the frozen-BN stats mask. One implementation so the pipeline step
+    cannot drift from the non-pipeline semantics it is parity-tested
+    against. Returns ``(new_params, new_opt_state, new_stats)``."""
+    import optax
+
+    opt_state.hyperparams["learning_rate"] = lr
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    if mask is not None:
+        # two-stepped transfer learning: keep non-open params frozen
+        new_params = jax.tree_util.tree_map(
+            lambda new, old, m: jnp.where(m, new, old),
+            new_params, params, mask,
+        )
+        # ...and their optimizer moments (torch skips frozen params
+        # entirely — no momentum/weight-decay accumulation while frozen,
+        # so unfreezing starts from clean state)
+        new_opt_state = _mask_opt_state(
+            new_opt_state, opt_state, mask,
+            jax.tree_util.tree_structure(params))
+    if stats_mask is not None:
+        # faithful-fixbase mode: frozen modules' BN running stats do not
+        # update during warmup (reference puts them in .eval(),
+        # torchtools.py:171-221)
+        new_stats = jax.tree_util.tree_map(
+            lambda new, old, m: jnp.where(m, new, old),
+            new_stats, old_stats, stats_mask,
+        )
+    return new_params, new_opt_state, new_stats
+
+
 def _traced_accuracy(logits, pids):
     """Top-1 accuracy (%), averaged over the part axis when present —
     matches the reference's per-part accuracy averaging
@@ -242,6 +278,15 @@ class Engine:
             self._pp_plan = PipelinePlan(
                 model.module, self.pipeline_parallel, self.mesh)
         # default GPipe schedule: as many microbatches as stages
+        if int(pipeline_microbatches) < 0:
+            raise ValueError(
+                f"tpu.pipeline_microbatches must be >= 0, got "
+                f"{pipeline_microbatches}")
+        if int(pipeline_microbatches) > 0 and not self.pipeline_parallel:
+            raise ValueError(
+                "tpu.pipeline_microbatches is set but tpu.pipeline_parallel "
+                "is 0 — it would be silently ignored; for microbatching "
+                "without pipeline stages use train.accum_steps")
         self.pipeline_microbatches = int(pipeline_microbatches) or \
             self.pipeline_parallel
         # cfg.tpu.shard_opt_state (ZeRO-1): optimizer moments shard over the
@@ -540,32 +585,9 @@ class Engine:
                 (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                     lf, has_aux=True
                 )(state.params, state.batch_stats, imgs, pids)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = lr
-            import optax
-
-            updates, new_opt_state = tx.update(grads, opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            if mask is not None:
-                # two-stepped transfer learning: keep non-open params frozen
-                new_params = jax.tree_util.tree_map(
-                    lambda new, old, m: jnp.where(m, new, old),
-                    new_params, state.params, mask,
-                )
-                # ...and their optimizer moments (torch skips frozen params
-                # entirely — no momentum/weight-decay accumulation while
-                # frozen, so unfreezing starts from clean state)
-                new_opt_state = _mask_opt_state(
-                    new_opt_state, state.opt_state, mask,
-                    jax.tree_util.tree_structure(state.params))
-            if stats_mask is not None:
-                # faithful-fixbase mode: frozen modules' BN running stats do
-                # not update during warmup (reference puts them in .eval(),
-                # torchtools.py:171-221)
-                new_stats = jax.tree_util.tree_map(
-                    lambda new, old, m: jnp.where(m, new, old),
-                    new_stats, state.batch_stats, stats_mask,
-                )
+            new_params, new_opt_state, new_stats = _apply_optimizer(
+                tx, state.params, grads, state.opt_state, lr, mask,
+                state.batch_stats, new_stats, stats_mask)
             if self._opt_shardings is not None:
                 # ZeRO-1 (tpu.shard_opt_state): keep the updated moments
                 # pinned to their data-axis shards so GSPMD partitions the
@@ -1078,5 +1100,8 @@ class Engine:
     def extract_features(self, imgs):
         if self._eval_step_fn is None:
             self._eval_step_fn = self._build_eval_step()
-        return self._eval_step_fn(self.state.params, self.state.batch_stats,
-                                  imgs)
+        # _eval_variables: under pipeline_parallel the train state is
+        # stage-partitioned over disjoint submeshes — gather a full-mesh
+        # replicated copy for the one-program eval jit (no-op otherwise)
+        eval_params, eval_stats = self._eval_variables()
+        return self._eval_step_fn(eval_params, eval_stats, imgs)

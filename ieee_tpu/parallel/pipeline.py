@@ -205,10 +205,14 @@ class PipelineTrainStep:
         self.engine = engine
         self.plan: PipelinePlan = engine._pp_plan
         self.n_micro = int(engine.pipeline_microbatches)
+        # the measured cfg.tpu.compiler_options win applies to every stage
+        # jit, same as Engine._build_train_step
+        self._jit_opts = dict(
+            compiler_options=(engine.compiler_options or None))
         self._transform_jit = None
-        self._fwd = {}      # stage -> jit
-        self._bwd = {}      # stage -> jit
-        self._last = None   # final-stage loss+grad jit
+        self._fwd = {}      # (stage, mb) -> jit
+        self._bwd = {}      # (stage, mb) -> jit
+        self._last = {}     # mb -> final-stage loss+grad jit
         self._update = {}   # stage -> jit
 
     # --- jit builders ---------------------------------------------------
@@ -243,7 +247,7 @@ class PipelineTrainStep:
         return x
 
     def _get_fwd(self, stage: int, mb: int):
-        if stage not in self._fwd:
+        if (stage, mb) not in self._fwd:
             plan = self.plan
 
             def fwd(p, s, x, m):
@@ -252,14 +256,14 @@ class PipelineTrainStep:
                     {"params": p, "batch_stats": s}, xin, stage)
                 return y, upd.get("batch_stats", {})
 
-            self._fwd[stage] = jax.jit(fwd)
-        return self._fwd[stage]
+            self._fwd[(stage, mb)] = jax.jit(fwd, **self._jit_opts)
+        return self._fwd[(stage, mb)]
 
     def _get_bwd(self, stage: int, mb: int):
         """Rematerializing backward: recompute the stage forward from the
         saved (stats, input) pair, then pull (d_params, d_input) back
         through it. ``gsum`` is the donated running gradient sum."""
-        if stage not in self._bwd:
+        if (stage, mb) not in self._bwd:
             plan = self.plan
             # stage 0's input is the raw image batch — no upstream stage
             # wants d_input, so don't spend the MXU computing it
@@ -283,11 +287,12 @@ class PipelineTrainStep:
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, dp)
                 return gsum, dx
 
-            self._bwd[stage] = jax.jit(bwd, donate_argnums=(5,))
-        return self._bwd[stage]
+            self._bwd[(stage, mb)] = jax.jit(
+                bwd, donate_argnums=(5,), **self._jit_opts)
+        return self._bwd[(stage, mb)]
 
     def _get_last(self, mb: int):
-        if self._last is None:
+        if mb not in self._last:
             eng = self.engine
             plan = self.plan
             last = plan.n_stages - 1
@@ -309,8 +314,9 @@ class PipelineTrainStep:
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, dp)
                 return loss, metrics, new_s, gsum, dx
 
-            self._last = jax.jit(last_step, donate_argnums=(6,))
-        return self._last
+            self._last[mb] = jax.jit(
+                last_step, donate_argnums=(6,), **self._jit_opts)
+        return self._last[mb]
 
     def _get_update(self, stage: int):
         if stage not in self._update:
@@ -320,28 +326,15 @@ class PipelineTrainStep:
 
             def update(p, gsum, os_, lr, mask_, old_stats, new_stats,
                        stats_mask_):
-                import optax
-
-                from ..engine.engine import _mask_opt_state
+                # shared optimizer tail — one implementation with the
+                # engine step (lr inject, apply, fixbase/stats-mask blends)
+                from ..engine.engine import _apply_optimizer
 
                 grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
-                os_.hyperparams["learning_rate"] = lr
-                updates, new_os = tx.update(grads, os_, p)
-                new_p = optax.apply_updates(p, updates)
-                if mask_ is not None:
-                    new_p = jax.tree_util.tree_map(
-                        lambda new, old, mm: jnp.where(mm, new, old),
-                        new_p, p, mask_)
-                    new_os = _mask_opt_state(
-                        new_os, os_, mask_,
-                        jax.tree_util.tree_structure(p))
-                if stats_mask_ is not None:
-                    new_stats = jax.tree_util.tree_map(
-                        lambda new, old, mm: jnp.where(mm, new, old),
-                        new_stats, old_stats, stats_mask_)
-                return new_p, new_os, new_stats
+                return _apply_optimizer(tx, p, grads, os_, lr, mask_,
+                                        old_stats, new_stats, stats_mask_)
 
-            self._update[stage] = jax.jit(update)
+            self._update[stage] = jax.jit(update, **self._jit_opts)
         return self._update[stage]
 
     # --- the step ---------------------------------------------------------
