@@ -38,6 +38,65 @@ def _md5_seed(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+# --- synthetic-x1: the discriminative cross-modal benchmark -----------------
+# Knobs are frozen under the scheme version tag: changing any constant must
+# bump "x1" -> "x2" (decode caches and artifacts key on the path string).
+_X1_GRID = (16, 8)      # cell grid, upsampled to (height, width)
+_X1_GROUP = 4           # pids per shared-code group (within-group
+                        # discrimination NEEDS the modality-specific codes)
+_X1_A_SHARED = 14.0     # amplitude of the group-shared code (all modalities)
+_X1_A_SPEC = 14.0       # amplitude of the modality-specific per-pid code
+_X1_NOISE = 30.0        # per-pixel gaussian camera noise (sigma)
+_X1_N_BANDS = 8         # horizontal occlusion bands (2 grid rows each)
+_X1_N_OCCLUDE = 2       # bands wiped per image (part-level nuisance)
+
+
+def _render_x1(path: str, height: int, width: int) -> np.ndarray:
+    """``synthetic-x1://pid/j/key/m`` — cross-modal factorized identities.
+
+    Identity signal is split ACROSS modalities (the regime the reference's
+    CIM/3M/REM modules target, reference ieee3modalPart.py:427-435,:51-80;
+    losses/multi_modal_margin_loss_new.py:19-40):
+
+    * a *group-shared* code (same for ``pid // _X1_GROUP``, rendered in every
+      modality at weak amplitude): redundant noisy views — cross-modal
+      mixing can denoise it, single-modality training cannot.
+    * a *modality-specific* per-pid code (one per (pid, modality)): the only
+      within-group discriminant. A representation that collapses to the
+      cross-modal consensus retrieves at group level only (mAP ceiling
+      ~K_gallery-matched-by-group), which is the failure mode the 3M margin
+      loss penalizes.
+    * per-image camera nuisance: channel affine, horizontal roll, gaussian
+      noise, plus *stripe occlusion* (2 of 8 horizontal bands wiped to
+      mid-gray): occluded part-stripes carry no identity signal, rewarding
+      part/global re-weighting (REM) over blind part pooling.
+    """
+    gh, gw = _X1_GRID
+    parts = path[len("synthetic-x1://"):].split("/")
+    pid, modal = parts[0], (parts[3] if len(parts) > 3 else "0")
+    group = int(pid) // _X1_GROUP
+    shared_rng = np.random.default_rng(_md5_seed(f"x1-shared/{group}"))
+    spec_rng = np.random.default_rng(_md5_seed(f"x1-spec/{pid}/{modal}"))
+    z_shared = shared_rng.normal(size=(gh, gw, 3))
+    z_spec = spec_rng.normal(size=(gh, gw, 3))
+    img = 128.0 + _X1_A_SHARED * z_shared + _X1_A_SPEC * z_spec
+
+    rng = np.random.default_rng(_md5_seed(path))
+    gain = rng.uniform(0.75, 1.35, size=(1, 1, 3))
+    offset = rng.uniform(-24.0, 24.0, size=(1, 1, 3))
+    img = (img - 128.0) * gain + 128.0 + offset
+    # stripe occlusion in grid space (gh rows / _X1_N_BANDS bands)
+    bands = rng.choice(_X1_N_BANDS, size=_X1_N_OCCLUDE, replace=False)
+    rows_per_band = gh // _X1_N_BANDS
+    for b in bands:
+        img[b * rows_per_band:(b + 1) * rows_per_band] = 128.0
+    img = np.kron(img, np.ones((-(-height // gh), -(-width // gw), 1)))
+    img = img[:height, :width]
+    img = np.roll(img, rng.integers(-width // 8, width // 8 + 1), axis=1)
+    img += rng.normal(0.0, _X1_NOISE, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def _render(path: str, height: int, width: int) -> np.ndarray:
     """Deterministic pseudo-image from the path string (md5, not hash():
     python string hashing is randomized per process, which broke decode
@@ -55,6 +114,8 @@ def _render(path: str, height: int, width: int) -> np.ndarray:
       chance yet is LEARNABLE — end-to-end training runs show real mAP
       convergence (the stand-in for the license-gated RGBNT201 protocol).
     """
+    if path.startswith("synthetic-x1://"):
+        return _render_x1(path, height, width)
     rng = np.random.default_rng(_md5_seed(path))
     if path.startswith("synthetic-corr://"):
         parts = path[len("synthetic-corr://"):].split("/")
@@ -147,9 +208,13 @@ class SyntheticMM(_SyntheticMixin, MultiModalImageDataset):
 
     def __init__(self, root="", num_pids=16, imgs_per_pid=8, num_cams=4,
                  num_modal=3, seed=0, correlated=False, heldout_test=False,
-                 **kwargs):
+                 cross_modal=False, **kwargs):
         rng = np.random.default_rng(seed)
         scheme = "synthetic-corr" if correlated else "synthetic"
+        if cross_modal:
+            # the discriminative benchmark: identity info factorized across
+            # modalities (see _render_x1); implies learnable appearance
+            scheme = "synthetic-x1"
         test_offset = num_pids if heldout_test else 0
         train = _make_split(rng, num_pids, imgs_per_pid, num_cams, num_modal,
                             scheme=scheme)
