@@ -240,6 +240,11 @@ def _register_trunk_models():
     add("se_resnet50_fc512",
         partial(SENetTrunk, layers=(3, 4, 6, 3), last_stride=1), 2048,
         fc_dims=[512])
+    # SENet154 (reference senet.py:530-546): 154-style blocks, groups=64,
+    # 3x 3x3 stem; unregistered in the reference factory but fully
+    # implemented there — ported for completeness
+    add("senet154", partial(SENetTrunk, layers=(3, 8, 36, 3), groups=64,
+                            reduction=16, style_154=True), 2048)
 
     for arch, (gr, cfg, init_f) in DENSENET_CFG.items():
         feat = init_f

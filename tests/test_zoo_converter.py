@@ -147,6 +147,7 @@ def test_apply_pretrained_zoo_path(tmp_path, monkeypatch):
     ("osnet.py", "osnet_ibn_x1_0", "osnet_ibn_x1_0", (64, 32)),
     ("osnet_ain.py", "osnet_ain_x0_25", "osnet_ain_x0_25", (64, 32)),
     ("senet.py", "se_resnet50", "se_resnet50", (64, 32)),
+    ("senet.py", "senet154", "senet154", (64, 32)),
     ("densenet.py", "densenet121", "densenet121", (64, 32)),
     ("shufflenetv2.py", "shufflenet_v2_x0_5", "shufflenet_v2_x0_5",
      (64, 32)),
