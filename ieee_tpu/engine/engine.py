@@ -946,12 +946,19 @@ class Engine:
         """(params, batch_stats) for the eval forward. Under
         pipeline_parallel the training layout is stage-partitioned over
         disjoint submeshes, which one jitted eval program cannot consume —
-        gather a full-mesh replicated copy (once per extraction pass;
-        ResNet-50-scale, cheap next to the eval itself)."""
+        gather a full-mesh replicated copy. Cached on the identity of the
+        live state object (self.state is rebound by every train step /
+        resume / placement), so per-batch callers of extract_features()
+        don't pay a full-model all-gather per call."""
         if self._pp_plan is None:
             return self.state.params, self.state.batch_stats
-        return (replicate(self.mesh, self.state.params),
-                replicate(self.mesh, self.state.batch_stats))
+        cached = getattr(self, "_eval_vars_cache", None)
+        if cached is not None and cached[0] is self.state:
+            return cached[1]
+        gathered = (replicate(self.mesh, self.state.params),
+                    replicate(self.mesh, self.state.batch_stats))
+        self._eval_vars_cache = (self.state, gathered)
+        return gathered
 
     def _feature_extraction(self, loader):
         if self._eval_step_fn is None:

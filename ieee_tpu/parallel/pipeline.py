@@ -246,8 +246,26 @@ class PipelineTrainStep:
                     if isinstance(x, tuple) else sl(x))
         return x
 
+    def _warn_new_mb(self, mb: int):
+        """The (stage, mb) jit caches recompile ALL stage programs per new
+        microbatch size — minutes each through a remote-compile tunnel. A
+        ragged tail batch silently doubling the compile set is the classic
+        cause; make it visible (use drop_last / a fixed train batch)."""
+        seen = getattr(self, "_mb_sizes_seen", set())
+        if mb not in seen and seen:
+            import warnings
+
+            warnings.warn(
+                f"pipeline_parallel: new microbatch size {mb} after "
+                f"{sorted(seen)} — every stage program recompiles for it. "
+                "Fix the train batch size (drop_last) to avoid this.",
+                stacklevel=3)
+        seen.add(mb)
+        self._mb_sizes_seen = seen
+
     def _get_fwd(self, stage: int, mb: int):
         if (stage, mb) not in self._fwd:
+            self._warn_new_mb(mb)
             plan = self.plan
 
             def fwd(p, s, x, m):
