@@ -66,6 +66,46 @@ def test_synthetic_correlated_identities_share_appearance():
     assert same < 0.8 * cross, (same, cross)
 
 
+def test_synthetic_x1_cross_modal_structure():
+    """cross_modal=True (synthetic-x1): the discriminative benchmark's
+    factorization holds — a group-shared code visible in every modality
+    (group-mates cluster once camera effects average out) plus a
+    modality-specific per-pid code (same-pid renders of one modality are
+    closer than same-group-different-pid ones)."""
+    ds = init_image_dataset("synthetic_mm", mode="train", num_pids=8,
+                            imgs_per_pid=48, height=64, width=32,
+                            cross_modal=True)
+    assert ds.train[0][0][0].startswith("synthetic-x1://")
+
+    def mean_img(pid, modal, half):
+        recs = [r for r in ds.train if r[1] == pid]
+        sl = recs[:24] if half == 0 else recs[24:]
+        return np.mean([ds._read_resized(r[0][modal]).astype(np.float32)
+                        for r in sl], 0)
+
+    # deterministic rendering
+    a = ds._read_resized(ds.train[0][0][0])
+    np.testing.assert_array_equal(a, ds._read_resized(ds.train[0][0][0]))
+
+    # groups of 4: pids 0-3 share a code, 4-7 another
+    d = lambda x, y: float(np.abs(x - y).mean())
+    m0 = {p: mean_img(p, 0, 0) for p in range(8)}
+    same_group = np.mean([d(m0[p], m0[q]) for p in range(4)
+                          for q in range(4) if p != q])
+    cross_group = np.mean([d(m0[p], m0[q]) for p in range(4)
+                           for q in range(4, 8)])
+    # measured at 24 renders/half: 11.2 vs 13.3 (the roll nuisance only
+    # partially integrates out) — assert separation with margin
+    assert same_group < 0.92 * cross_group, (same_group, cross_group)
+
+    # modality-specific code: same pid (both halves, one modality) closer
+    # than same-group different-pid
+    same_pid = np.mean([d(mean_img(p, 0, 0), mean_img(p, 0, 1))
+                        for p in range(4)])
+    # measured: 8.0 vs 11.2
+    assert same_pid < 0.85 * same_group, (same_pid, same_group)
+
+
 def test_synthetic_heldout_test_split_is_disjoint():
     """heldout_test=True: query/gallery identities are disjoint from train
     (open-set protocol like the real re-ID datasets); query ids still all
