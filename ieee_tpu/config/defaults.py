@@ -221,6 +221,12 @@ def get_default_config() -> ConfigNode:
     # microbatches per step under pipeline_parallel (0 = one per stage, the
     # standard GPipe fill/drain). Batch must divide evenly.
     cfg.tpu.pipeline_microbatches = 0
+    # run the whole GPipe schedule as ONE jitted wavefront program
+    # (parallel/pipeline_fused.py: shard_map over 'pipe', lax.switch per
+    # stage, ppermute activation rotation, grads through the scan) instead
+    # of host-dispatched per-(stage, microbatch) jits. 3S+2 dispatches/step
+    # independent of microbatch count.
+    cfg.tpu.pipeline_fused = False
     # ZeRO-1: shard optimizer moments over the 'data' axis (each chip owns
     # 1/N of every moment; params stay replicated) — frees ~2/3 of the
     # non-activation HBM state for adam-family at N>=4. Exclusive with

@@ -60,6 +60,7 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler,
             pipeline_parallel=int(getattr(tpu, "pipeline_parallel", 0)),
             pipeline_microbatches=int(
                 getattr(tpu, "pipeline_microbatches", 0)),
+            pipeline_fused=bool(getattr(tpu, "pipeline_fused", False)),
             shard_opt_state=bool(getattr(tpu, "shard_opt_state", False)),
         )
     name = cfg.loss.name

@@ -173,6 +173,7 @@ class Engine:
                  int8_eval: bool = False, tensor_parallel: bool = False,
                  spatial_parallel: bool = False, accum_steps: int = 1,
                  pipeline_parallel: int = 0, pipeline_microbatches: int = 0,
+                 pipeline_fused: bool = False,
                  shard_opt_state: bool = False):
         self.datamanager = datamanager
         self.model = model
@@ -246,7 +247,12 @@ class Engine:
         # batch flows through as microbatches. TPU-native capability beyond
         # the reference's DataParallel (SURVEY §2.8 "Pipeline parallel: no").
         self.pipeline_parallel = int(pipeline_parallel)
+        self.pipeline_fused = bool(pipeline_fused)
         self._pp_plan = None
+        if self.pipeline_fused and not pipeline_parallel:
+            raise ValueError(
+                "tpu.pipeline_fused needs tpu.pipeline_parallel >= 2 "
+                "(it selects the single-program GPipe schedule)")
         if self.pipeline_parallel:
             if tensor_parallel or spatial_parallel:
                 raise ValueError(
@@ -776,9 +782,14 @@ class Engine:
 
         if self._train_step_fn is None:
             if self._pp_plan is not None:
-                from ..parallel import PipelineTrainStep
+                if self.pipeline_fused:
+                    from ..parallel import FusedPipelineTrainStep
 
-                self._train_step_fn = PipelineTrainStep(self)
+                    self._train_step_fn = FusedPipelineTrainStep(self)
+                else:
+                    from ..parallel import PipelineTrainStep
+
+                    self._train_step_fn = PipelineTrainStep(self)
             else:
                 self._train_step_fn = self._build_train_step()
 

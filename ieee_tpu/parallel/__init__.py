@@ -1,5 +1,6 @@
 from .multihost import ProcessShardSampler, init_multihost
 from .pipeline import PipelinePlan, PipelineTrainStep
+from .pipeline_fused import FusedPipelineTrainStep
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -24,4 +25,5 @@ __all__ = [
     "init_multihost",
     "PipelinePlan",
     "PipelineTrainStep",
+    "FusedPipelineTrainStep",
 ]
