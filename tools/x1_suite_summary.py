@@ -77,9 +77,10 @@ def summarize(runs):
     # every pair of runs must have distinct weight fingerprints
     all_fps = [fp for v in per_variant.values() for fp in v["fingerprints"]]
     return {
-        "protocol": "synthetic-x1, 192x8 train pids, 96 heldout pids, "
-                    "batch 32 (P=8), amsgrad 3e-4, multi_step [30,50], "
-                    "60 epochs, reference-exact sum 3M, from scratch",
+        "protocol": "synthetic-x1, 128x8 train pids, 64 heldout pids, "
+                    "REFERENCE protocol: batch 8 (P=2), sgd 1e-3 wd 5e-4, "
+                    "multi_step [20,40], 61 epochs, reference-exact sum "
+                    "3M, from scratch",
         "variants": per_variant,
         "expected_order": ORDER,
         "empirical_order_by_mean_mAP": empirical,
