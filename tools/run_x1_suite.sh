@@ -28,7 +28,7 @@ while ! grep -q "=== screen done ===" /tmp/screen_x1_driver.log 2>/dev/null; do
 done
 
 run() { # run <variant> <seed>
-  local v="$1" seed="$2"
+  local v="$1" seed="$2"; shift 2
   local out="E2E_X1_${v}_s${seed}_r05.json"
   local vlog="/tmp/x1_${v}_s${seed}.log" attempt rc age pid
   if grep -q '"complete": true' "$out" 2>/dev/null; then
