@@ -438,6 +438,7 @@ def test_build_engine_wires_pipeline_knobs(pipe_mesh):
     cfg.tpu.mesh_axes = ["pipe", "data"]
     cfg.tpu.pipeline_parallel = 2
     cfg.tpu.pipeline_microbatches = 4
+    cfg.tpu.pipeline_fused = True
     dm = _dm()
     model = build_model("resnet18", num_classes=dm.num_train_pids,
                         loss="softmax", pretrained=False)
@@ -445,5 +446,14 @@ def test_build_engine_wires_pipeline_knobs(pipe_mesh):
                        build_optimizer(optim="sgd", lr=0.01), lambda e: 0.01)
     assert eng.pipeline_parallel == 2
     assert eng.pipeline_microbatches == 4
+    assert eng.pipeline_fused is True
     assert eng._pp_plan is not None
     assert eng._pp_plan.groups == [(0, 1, 2), (3, 4)]
+    # fused without pipeline stages is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pipeline_fused"):
+        ImageSoftmaxEngine(dm, model,
+                           optimizer=build_optimizer(optim="sgd", lr=0.01),
+                           scheduler=lambda e: 0.01, seed=0,
+                           pipeline_fused=True)
