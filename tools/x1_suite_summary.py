@@ -46,6 +46,30 @@ def collect():
     return runs
 
 
+def collect_warm():
+    """Warm-start leg (E2E_X1W_*): every variant initialized from the
+    seed-0 trained base trunk, 40 epochs — the regime the reference's
+    protocol assumes (its trunk is ImageNet-warm-started)."""
+    warm = {}
+    for path in sorted(glob.glob(osp.join(ROOT, "E2E_X1W_*_r05.json"))):
+        m = re.match(r"E2E_X1W_(\w+)_s(\d+)_r05\.json", osp.basename(path))
+        if not m:
+            continue
+        with open(path) as f:
+            a = json.load(f)
+        if not a.get("complete") or not a.get("evals"):
+            continue
+        final = a["evals"][-1]
+        warm[m.group(1)] = {
+            "seed": int(m.group(2)),
+            "mAP": final["mAP"],
+            "rank1": final["rank1"],
+            "best_mAP": max(e["mAP"] for e in a["evals"]),
+            "fingerprint": a.get("params_fingerprint"),
+        }
+    return warm
+
+
 def summarize(runs):
     per_variant = {}
     stds = []
@@ -92,13 +116,29 @@ def summarize(runs):
     }
 
 
+def attach_warm(summary, warm):
+    if not warm:
+        return summary
+    present = [v for v in ORDER if v in warm]
+    summary["warm_leg"] = {
+        "protocol": "same data (seed 0), every variant --init-from the "
+                    "seed-0 trained base trunk "
+                    "(.ckpts/x1_base_s0/model.msgpack-61), 40 epochs, "
+                    "sgd 1e-3, multi_step [20,30]; base row = continued "
+                    "training control",
+        "variants": warm,
+        "empirical_order_by_mAP": sorted(present, key=lambda v: warm[v]["mAP"]),
+    }
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true",
                     help="write E2E_X1_SUITE_r05.json")
     args = ap.parse_args()
     runs = collect()
-    summary = summarize(runs)
+    summary = attach_warm(summarize(runs), collect_warm())
     print(json.dumps(summary, indent=1))
     if args.write:
         out = osp.join(ROOT, "E2E_X1_SUITE_r05.json")
